@@ -1,0 +1,63 @@
+"""Multi-head self-attention with a Pallas flash-attention fast path.
+
+The reference uses old-flax ``nn.SelfAttention`` (``models/ncsn.py:161``,
+``models/autoregressive.py:62``) with qkv/out width equal to the input width.
+Here attention is computed blockwise: for sequences long enough to tile the
+MXU/VPU lanes the Pallas kernel in ``smd_tpu.ops.flash_attention`` is used
+(O(S) memory, no S x S materialization, and the seam for a future
+context-parallel mesh axis); for the reference's tiny 32-token sequences the
+einsum path is used, which XLA fuses into adjacent matmuls — at S=32 a custom
+kernel cannot beat that because a single (8,128) VPU tile already covers the
+whole score matrix.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from smd_tpu.ops import flash_attention as fa
+
+__all__ = ["MultiHeadSelfAttention"]
+
+
+class MultiHeadSelfAttention(nn.Module):
+    """Self-attention matching the reference layer's shape contract.
+
+    features: model width (qkv width == out width == features).
+    causal: apply a causal mask (TransformerMDN) or none (TransformerDDPM).
+    use_flash_min_len: sequences at least this long route to the Pallas kernel.
+    """
+    features: int
+    num_heads: int
+    causal: bool = False
+    use_flash_min_len: int = 128
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        B, S, _ = x.shape
+        H = self.num_heads
+        Dh = self.features // H
+        assert self.features % H == 0, "features must divide num_heads"
+
+        qkv = nn.DenseGeneral(features=(3, H, Dh), axis=-1, name="qkv")(x)
+        q, k, v = jnp.moveaxis(qkv, -3, 0)  # each (B, S, H, Dh)
+
+        q = q / jnp.sqrt(Dh).astype(q.dtype)
+        use_flash = (S >= self.use_flash_min_len and
+                     fa.supported(S, Dh, q.dtype))
+        if use_flash:
+            out = fa.flash_attention(q, k, v, causal=self.causal)
+        else:
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+            if self.causal:
+                mask = jnp.tril(jnp.ones((S, S), bool))
+                scores = jnp.where(mask[None, None], scores,
+                                   jnp.finfo(scores.dtype).min)
+            weights = jax.nn.softmax(scores, axis=-1)
+            out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+
+        return nn.DenseGeneral(features=self.features, axis=(-2, -1),
+                               name="out")(out)

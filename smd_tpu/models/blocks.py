@@ -1,0 +1,118 @@
+"""Shared neural-net building blocks (Flax Linen).
+
+Capability parity with the reference's ``models/shared.py`` (MDN head :21,
+sinusoidal positional encoding :33, FeaturewiseAffine :51, DenseResBlock :58)
+and ``models/ncsn.py:25-80`` (NoiseEncoding, DenseFiLM) — re-expressed as
+Linen modules. Topology is preserved exactly (LN → affine → swish → Dense ×2
+with projected shortcut; noise embedding scaled ×5000) so training dynamics
+match; parameter layout is modern Linen, not flax.nn.
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+__all__ = [
+    "sinusoidal_embedding",
+    "positional_encoding",
+    "noise_encoding",
+    "DenseFiLM",
+    "DenseResBlock",
+    "MDN",
+]
+
+
+def sinusoidal_embedding(positions: jnp.ndarray, channels: int) -> jnp.ndarray:
+    """Sin/cos embedding of a 1-D position/noise vector -> (len, channels)."""
+    assert positions.ndim == 1
+    half_dim = channels // 2
+    emb = jnp.log(10000.0) / float(half_dim - 1)
+    emb = jnp.exp(jnp.arange(half_dim) * -emb)
+    emb = positions.astype(jnp.float32)[:, None] * emb[None, :]
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=1)
+    if channels % 2 == 1:
+        emb = jnp.pad(emb, [[0, 0], [0, 1]])
+    return emb
+
+
+def positional_encoding(seq_len: int, channels: int) -> jnp.ndarray:
+    """Transformer positional encoding table, shape (seq_len, channels)."""
+    return sinusoidal_embedding(jnp.arange(seq_len), channels)
+
+
+def noise_encoding(noise: jnp.ndarray, channels: int) -> jnp.ndarray:
+    """Sinusoidal embedding of a continuous noise level, scaled x5000.
+
+    The x5000 scale spreads the [0, 1] continuous noise range across the
+    sinusoid frequencies (reference ``models/ncsn.py:36``).
+    """
+    if noise.ndim == 2:
+        noise = noise.squeeze(-1)
+    assert noise.ndim == 1
+    return sinusoidal_embedding(5000.0 * noise, channels)
+
+
+class DenseFiLM(nn.Module):
+    """Feature-wise linear modulation generator from a noise level.
+
+    noise (B,) or (B,1) -> (scale, shift) each (B, out_channels), or
+    (B, 1, out_channels) when ``sequence=True`` for broadcast over a seq axis.
+    """
+    embedding_channels: int
+    out_channels: int
+    sequence: bool = False
+
+    @nn.compact
+    def __call__(self, position):
+        pos = noise_encoding(position, self.embedding_channels)
+        pos = nn.Dense(self.embedding_channels * 4)(pos)
+        pos = nn.swish(pos)
+        pos = nn.Dense(self.embedding_channels * 4)(pos)
+        if self.sequence:
+            pos = pos[:, None, :]
+        scale = nn.Dense(self.out_channels)(pos)
+        shift = nn.Dense(self.out_channels)(pos)
+        return scale, shift
+
+
+def featurewise_affine(x, scale, shift):
+    return scale * x + shift
+
+
+class DenseResBlock(nn.Module):
+    """Fully-connected residual block with optional FiLM conditioning.
+
+    LN -> affine -> swish -> Dense -> LN -> affine -> swish -> Dense, plus a
+    projected shortcut when the width changes. The same (scale, shift) pair
+    conditions both affines, matching reference ``models/shared.py:58-75``.
+    """
+    output_size: int
+
+    @nn.compact
+    def __call__(self, inputs, scale=1.0, shift=0.0):
+        x = nn.LayerNorm()(inputs)
+        x = featurewise_affine(x, scale, shift)
+        x = nn.swish(x)
+        x = nn.Dense(self.output_size)(x)
+        x = nn.LayerNorm()(x)
+        x = featurewise_affine(x, scale, shift)
+        x = nn.swish(x)
+        x = nn.Dense(self.output_size)(x)
+
+        shortcut = inputs
+        if inputs.shape[-1] != self.output_size:
+            shortcut = nn.Dense(self.output_size)(inputs)
+        return x + shortcut
+
+
+class MDN(nn.Module):
+    """Mixture-density output head: unnormalized (pi, mu, log_sigma)."""
+    out_channels: int = 512
+    num_components: int = 10
+
+    @nn.compact
+    def __call__(self, inputs):
+        mu = nn.Dense(self.out_channels * self.num_components)(inputs)
+        log_sigma = nn.Dense(self.out_channels * self.num_components)(inputs)
+        pi = nn.Dense(self.num_components)(inputs)
+        return pi, mu, log_sigma

@@ -1,0 +1,1 @@
+from smd_tpu.ops import flash_attention  # noqa: F401

@@ -1,0 +1,4 @@
+from smd_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh, batch_sharding, replicated, shard_params, shard_batch,
+    MeshConfig,
+)

@@ -1,0 +1,39 @@
+"""Optimizer and learning-rate schedule.
+
+Reference semantics: Adam with global-norm gradient clipping at 1.0
+(``train_ncsn.py:284``) and a stepped exponential LR — lr·γ^(step//interval)
+with γ=0.98, interval=10000 (``train_ncsn.py:340-342``), optional linear
+warmup (``train_mdn.py:64,267``) — rebuilt on optax.
+"""
+from __future__ import annotations
+
+import optax
+
+__all__ = ["stepped_exponential_schedule", "make_optimizer"]
+
+
+def stepped_exponential_schedule(base_lr: float, interval: int, gamma: float,
+                                 warmup_steps: int = 0):
+    """lr(step) = base_lr * gamma^(step // interval), with optional warmup."""
+    decay = optax.exponential_decay(init_value=base_lr,
+                                    transition_steps=interval,
+                                    decay_rate=gamma,
+                                    staircase=True)
+    if warmup_steps > 0:
+        warmup = optax.linear_schedule(0.0, base_lr, warmup_steps)
+        return optax.join_schedules([warmup, decay], [warmup_steps])
+    return decay
+
+
+def make_optimizer(learning_rate: float = 1e-3,
+                   grad_clip: float = 1.0,
+                   lr_gamma: float = 0.98,
+                   lr_schedule_interval: int = 10000,
+                   warmup_steps: int = 0) -> optax.GradientTransformation:
+    schedule = stepped_exponential_schedule(learning_rate,
+                                            lr_schedule_interval, lr_gamma,
+                                            warmup_steps)
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adam(schedule),
+    )

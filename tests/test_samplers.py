@@ -1,0 +1,135 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smd_tpu.diffusion import samplers, schedules
+
+
+def _gauss_score(x, sigma):
+    """Oracle score of N(0, I) data perturbed by noise level sigma."""
+    return -x / (1.0 + sigma**2)
+
+
+def test_ald_oracle_converges_to_standard_normal(rng):
+    sigmas = schedules.noise_schedule(1.0, 1e-2, 10, "geometric")
+    init = jax.random.uniform(jax.random.PRNGKey(5), (4096, 2),
+                              minval=-np.sqrt(12) / 2, maxval=np.sqrt(12) / 2)
+    out = samplers.annealed_langevin_dynamics(rng, _gauss_score, sigmas, init,
+                                              epsilon=2e-5, T=100,
+                                              denoise=True)
+    x = np.asarray(out.state)
+    assert abs(x.mean()) < 0.05
+    assert abs(x.std() - 1.0) < 0.1
+    assert out.collection.shape == (102, 4096, 2)
+    assert out.metrics.shape == (4, 10, 100)
+    # final denoised state is in the last collection slot
+    np.testing.assert_allclose(np.asarray(out.collection[-1]), x)
+
+
+def test_ald_no_collection_no_metrics(rng):
+    sigmas = schedules.noise_schedule(1.0, 1e-1, 3, "geometric")
+    init = jnp.zeros((8, 2))
+    out = samplers.annealed_langevin_dynamics(rng, _gauss_score, sigmas, init,
+                                              epsilon=1e-4, T=5, denoise=False,
+                                              collect_steps=0,
+                                              collect_metrics=False)
+    assert out.collection is None
+    assert out.metrics is None
+
+
+def test_cas_returns_triple(rng):
+    """Reference bug fix: CAS must return the standard 3-tuple."""
+    sigmas = schedules.noise_schedule(1.0, 1e-2, 50, "geometric")
+    init = jnp.zeros((16, 2))
+    out = samplers.consistent_langevin_dynamics(rng, _gauss_score, sigmas,
+                                                init, epsilon=1e-4)
+    assert isinstance(out, samplers.SamplerOutput)
+    state, collection, metrics = out
+    assert state.shape == (16, 2)
+    assert metrics.shape == (4, 50, 1)
+    assert collection is not None
+
+
+def _zero_data_eps(x, cond):
+    """Optimal eps-predictor when the data distribution is a point mass at 0:
+    x_t = sqrt(1-abar)*eps  =>  eps = x_t / sqrt(1-abar)."""
+    abar = cond**2
+    return x / jnp.sqrt(1.0 - abar + 1e-12)
+
+
+def test_ddpm_oracle_contracts_to_zero(rng):
+    betas = schedules.noise_schedule(1e-6, 0.01, 1000, "linear")
+    init = jax.random.normal(jax.random.PRNGKey(4), (256, 8))
+    out = samplers.diffusion_dynamics(rng, _zero_data_eps, betas, init)
+    x = np.asarray(out.state)
+    assert np.abs(x).mean() < 0.05
+    assert out.collection.shape == (41, 256, 8)
+    assert out.metrics.shape == (4, 1000, 1)
+    # final state lands in the last collection slot (reference off-by-one fixed)
+    np.testing.assert_allclose(np.asarray(out.collection[-1]), x, atol=1e-6)
+    # slot 0 is the initial state
+    np.testing.assert_allclose(np.asarray(out.collection[0]),
+                               np.asarray(init))
+
+
+def test_ddpm_deterministic_given_key(rng):
+    betas = schedules.noise_schedule(1e-6, 0.01, 50, "linear")
+    init = jax.random.normal(jax.random.PRNGKey(1), (8, 4))
+    o1 = samplers.diffusion_dynamics(rng, _zero_data_eps, betas, init,
+                                     collect_steps=0, collect_metrics=False)
+    o2 = samplers.diffusion_dynamics(rng, _zero_data_eps, betas, init,
+                                     collect_steps=0, collect_metrics=False)
+    np.testing.assert_array_equal(np.asarray(o1.state), np.asarray(o2.state))
+
+
+def test_ddpm_infill_pins_masked_elements(rng):
+    betas = schedules.noise_schedule(1e-6, 0.01, 100, "linear")
+    init = jax.random.normal(jax.random.PRNGKey(2), (16, 32, 4))
+    target = jnp.full((16, 32, 4), 0.25)
+    masks = jnp.zeros((16, 32, 4)).at[:, :8].set(1.0).at[:, -8:].set(1.0)
+    out = samplers.diffusion_dynamics(rng, _zero_data_eps, betas, init,
+                                      infill_samples=target,
+                                      infill_masks=masks,
+                                      collect_steps=0, collect_metrics=False)
+    x = np.asarray(out.state)
+    # t=0 overwrites masked entries with the clean infill content
+    np.testing.assert_allclose(x[:, :8], 0.25, atol=1e-6)
+    np.testing.assert_allclose(x[:, -8:], 0.25, atol=1e-6)
+    # unmasked middle is generated (not the target value)
+    assert not np.allclose(x[:, 8:-8], 0.25, atol=1e-3)
+
+
+def test_ald_infill_pins_masked_elements(rng):
+    sigmas = schedules.noise_schedule(1.0, 1e-2, 5, "geometric")
+    init = jnp.zeros((8, 10))
+    target = jnp.full((8, 10), 0.5)
+    masks = jnp.zeros((8, 10)).at[:, :5].set(1.0)
+    out = samplers.annealed_langevin_dynamics(
+        rng, _gauss_score, sigmas, init, epsilon=1e-4, T=10, denoise=False,
+        infill_samples=target, infill_masks=masks,
+        collect_steps=0, collect_metrics=False)
+    x = np.asarray(out.state)
+    # masked entries = target + sigma_L * noise; loosely pinned near 0.5
+    assert np.abs(x[:, :5] - 0.5).mean() < 0.05
+
+
+def test_stochastic_encoder_statistics(rng):
+    betas = schedules.noise_schedule(1e-6, 0.01, 1000, "linear")
+    samples = jnp.full((2048, 4), 3.0)
+    z = np.asarray(samplers.diffusion_stochastic_encoder(rng, samples, betas))
+    aprod = np.cumprod(1 - np.asarray(betas))
+    expect_mu = np.sqrt(aprod[-1]) * 3.0
+    expect_sig = np.sqrt(1 - aprod[-1])
+    assert abs(z.mean() - expect_mu) < 0.05
+    assert abs(z.std() - expect_sig) < 0.05
+
+
+def test_collate_sampling_metrics_shape(rng):
+    sigmas = schedules.noise_schedule(1.0, 1e-1, 3, "geometric")
+    init = jnp.zeros((4, 2))
+    out = samplers.annealed_langevin_dynamics(rng, _gauss_score, sigmas, init,
+                                              epsilon=1e-4, T=7, denoise=False)
+    collated = samplers.collate_sampling_metrics(out.metrics)
+    assert len(collated) == 3
+    assert len(collated[0]) == 7
+    assert set(collated[0][0]) == {"slope", "step", "alpha", "noise"}
