@@ -50,10 +50,13 @@ class TrainState:
     @classmethod
     def create(cls, params, tx, ema: bool = True, ema_mu: float = 0.999):
         import jax.numpy as jnp
+        # EMA starts as a *copy* of params: aliased leaves would be donated
+        # twice by the state-donating train step.
+        ema_params = jax.tree_util.tree_map(jnp.copy, params) if ema else None
         return cls(step=jnp.zeros((), jnp.int32),
                    params=params,
                    opt_state=tx.init(params),
-                   ema_params=params if ema else None,
+                   ema_params=ema_params,
                    ema_mu=ema_mu,
                    tx=tx)
 

@@ -1,0 +1,136 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smd_tpu.data import synthetic
+from smd_tpu.diffusion import samplers, schedules
+from smd_tpu.eval import metrics
+from smd_tpu.models import get_model
+from smd_tpu.training import diffusion as trainer
+from smd_tpu.training.optimizer import stepped_exponential_schedule
+from smd_tpu.training.state import EarlyStopping
+
+
+def test_stepped_exponential_schedule():
+    s = stepped_exponential_schedule(1e-3, 100, 0.98)
+    np.testing.assert_allclose(float(s(0)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(s(99)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(s(100)), 1e-3 * 0.98, rtol=1e-6)
+    np.testing.assert_allclose(float(s(250)), 1e-3 * 0.98**2, rtol=1e-6)
+
+
+def test_early_stopping():
+    es = EarlyStopping(patience=1)
+    improved, es = es.update(1.0)
+    assert improved and not es.should_stop
+    improved, es = es.update(1.5)
+    assert not improved and not es.should_stop
+    improved, es = es.update(1.5)
+    assert not improved and es.should_stop
+
+
+def _toy_batches(n_batches, batch_size, lo, hi, seed):
+    rng = np.random.default_rng(seed)
+
+    def gen():
+        for _ in range(n_batches):
+            x = synthetic.toy_distribution(batch_size, rng)
+            yield 2.0 * (x - lo) / (hi - lo) - 1.0
+
+    return gen
+
+
+@pytest.mark.slow
+def test_toy_ddpm_end_to_end(tmp_path):
+    """Minimum end-to-end slice (SURVEY.md §7): train ToyDDPM on the 2-D
+    mixture, sample with the DDPM sampler, check Fréchet distance."""
+    lo, hi = -9.0, 9.0
+    betas = schedules.noise_schedule(1e-6, 0.01, 200, "linear")
+    model = get_model("ToyDDPM", num_layers=3, mlp_dims=128)
+    config = trainer.TrainConfig(loss="ddpm", learning_rate=1e-3,
+                                 batch_size=256, epochs=1, max_steps=2000,
+                                 snapshot_freq=1000, logging_freq=500,
+                                 ema=True, verbose=False)
+
+    state = trainer.fit(model, betas,
+                        _toy_batches(2000, 256, lo, hi, 0),
+                        _toy_batches(4, 256, lo, hi, 1),
+                        input_shape=(2,), config=config,
+                        model_dir=str(tmp_path / "toy"))
+
+    # Sample.
+    rng = jax.random.PRNGKey(42)
+    init = jax.random.normal(rng, (2000, 2))
+    params = state.sampling_params
+    model_fn = lambda x, cond: model.apply(params, x, cond)
+    out = samplers.diffusion_dynamics(jax.random.PRNGKey(7), model_fn, betas,
+                                      init, collect_steps=0,
+                                      collect_metrics=False)
+    gen = np.asarray(out.state)
+    gen = (gen + 1) / 2 * (hi - lo) + lo  # denormalize
+
+    real = synthetic.toy_distribution(2000, np.random.default_rng(9))
+    fd = metrics.frechet_distance(real, gen)
+    # Mixture has variance ~17 per dim; untrained/noise models give FD > 30.
+    assert fd < 5.0, f"FD too high: {fd}"
+    # Both modes present.
+    frac_pos = (gen[:, 0] > 0).mean()
+    assert 0.6 < frac_pos < 0.95
+
+
+def test_checkpoint_resume(tmp_path):
+    """fit() resumes from the latest checkpoint (reference could not)."""
+    betas = schedules.noise_schedule(1e-6, 0.01, 10, "linear")
+    model = get_model("ToyDDPM", num_layers=1, mlp_dims=16)
+    config = trainer.TrainConfig(loss="ddpm", batch_size=8, epochs=1,
+                                 max_steps=5, snapshot_freq=100,
+                                 logging_freq=100, verbose=False)
+    d = str(tmp_path / "resume")
+    state1 = trainer.fit(model, betas, _toy_batches(5, 8, -9, 9, 0),
+                         _toy_batches(1, 8, -9, 9, 1), (2,), config, d)
+    assert int(state1.step) == 5
+
+    # Second run resumes at step 5 and adds 3 more.
+    config2 = trainer.TrainConfig(loss="ddpm", batch_size=8, epochs=1,
+                                  max_steps=8, snapshot_freq=100,
+                                  logging_freq=100, verbose=False)
+    state2 = trainer.fit(model, betas, _toy_batches(10, 8, -9, 9, 2),
+                         _toy_batches(1, 8, -9, 9, 1), (2,), config2, d)
+    assert int(state2.step) == 8
+
+
+def test_train_step_decreases_loss():
+    betas = schedules.noise_schedule(1e-6, 0.01, 50, "linear")
+    model = get_model("ToyDDPM", num_layers=2, mlp_dims=64)
+    config = trainer.TrainConfig(loss="ddpm", batch_size=128)
+    rng = jax.random.PRNGKey(0)
+    state = trainer.create_train_state(rng, model, (128, 2), (128, 1), config)
+    objective = trainer.objective_by_name("ddpm")
+    step = trainer.make_train_step(model, objective, betas, True)
+
+    batch = jnp.asarray(synthetic.toy_distribution(128,
+                                                   np.random.default_rng(0)))
+    batch = batch / 9.0
+    losses = []
+    for i in range(30):
+        rng, srng = jax.random.split(rng)
+        state, m = step(state, batch, srng)
+        losses.append(float(m["loss"]))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_ema_tracks_params():
+    betas = schedules.noise_schedule(1e-6, 0.01, 10, "linear")
+    model = get_model("ToyDDPM", num_layers=1, mlp_dims=16)
+    config = trainer.TrainConfig(mu=0.5)
+    rng = jax.random.PRNGKey(0)
+    state = trainer.create_train_state(rng, model, (8, 2), (8, 1), config)
+    step = trainer.make_train_step(model, trainer.objective_by_name("ddpm"),
+                                   betas, True)
+    batch = jnp.ones((8, 2)) * 0.5
+    state2, _ = step(state, batch, jax.random.PRNGKey(1))
+    # ema = 0.5*old + 0.5*new: must differ from both unless no update happened
+    p_new = jax.tree_util.tree_leaves(state2.params)[0]
+    e_new = jax.tree_util.tree_leaves(state2.ema_params)[0]
+    assert not np.allclose(np.asarray(p_new), np.asarray(e_new))
