@@ -1,0 +1,65 @@
+"""Sample from a trained autoregressive MDN — CLI.
+
+Flag-compatible with the reference's ``sample_mdn.py`` (its broken
+``train_transformer`` import fixed; SURVEY.md §7 item 3). Decoding runs as a
+single on-device ``lax.scan`` (``smd_tpu.sampling.mdn_decode``) instead of the
+reference's 32 host-driven full forward passes.
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+from absl import app, flags, logging
+
+from smd_tpu import cli
+
+FLAGS = flags.FLAGS
+cli.define_common_flags()
+cli.define_sampling_flags()
+
+
+def main(argv):
+    del argv
+    logging.info(FLAGS.flags_into_string())
+
+    import jax
+    import tensorflow as tf
+    tf.config.experimental.set_visible_devices([], "GPU")
+
+    from smd_tpu.data import transforms
+    from smd_tpu.sampling import mdn_decode
+    from smd_tpu.utils import io as io_lib
+
+    log_dir = FLAGS.sampling_dir
+    pca, slice_idx, dim_weights = cli.load_transforms_from_flags()
+
+    train_ds, eval_ds = cli.dataset_from_flags(include_cardinality=False,
+                                               problem="vae")
+    real = eval_ds.take_examples(FLAGS.sample_size)
+    steps, channels = real[0].shape
+
+    model, state = cli.restore_state_for_sampling((steps, channels), mdn=True)
+    model_fn = lambda tokens: model.apply(state.params, tokens, shift=False)
+
+    t0 = time.time()
+    generated = mdn_decode.ar_decode(jax.random.PRNGKey(FLAGS.sample_seed),
+                                     model_fn, len(real), steps=steps,
+                                     channels=channels)
+    generated = np.asarray(generated)
+    logging.info("Generated samples in %f seconds", time.time() - t0)
+
+    if FLAGS.flush:
+        generated_t = transforms.inverse_data_transform(
+            generated, FLAGS.normalize, pca, train_ds.min, train_ds.max,
+            slice_idx, dim_weights)
+        real_t = transforms.inverse_data_transform(
+            real, FLAGS.normalize, pca, eval_ds.min, eval_ds.max, slice_idx,
+            dim_weights)
+        io_lib.save(real_t, os.path.join(log_dir, "mdn/real.pkl"))
+        io_lib.save(generated_t, os.path.join(log_dir, "mdn/generated.pkl"))
+
+
+if __name__ == "__main__":
+    app.run(main)

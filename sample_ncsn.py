@@ -1,0 +1,173 @@
+"""Sample from a trained score/diffusion network — CLI.
+
+Flag-compatible with the reference's ``sample_ncsn.py``: unconditional
+generation, edge-fixed infilling, stochastic-encoder interpolation (index bug
+fixed), sample flushing, optional full metrics suite (with the 7 previously
+missing metric functions implemented in ``smd_tpu.eval.metrics``).
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+from absl import app, flags, logging
+
+from smd_tpu import cli
+
+FLAGS = flags.FLAGS
+cli.define_common_flags()
+cli.define_diffusion_flags()
+cli.define_sampling_flags()
+
+
+def evaluate(writer, real, collection, baseline, valid_real):
+    """Metric sweep over sampling-time snapshots (ref ``sample_ncsn.py:69``)."""
+    from smd_tpu.eval import metrics, plots
+
+    assert collection.shape[1:] == real.shape
+    gen_test_points = collection[np.linspace(0, len(collection) - 1,
+                                             20).astype(np.uint32)]
+    if FLAGS.compute_final_only:
+        gen_test_points = [gen_test_points[-1]]
+
+    random_points = [np.random.randn(*collection[0].shape)]
+    real_points = [valid_real]
+
+    init = collection[0]
+    prd_init = metrics.precision_recall_distribution(real, init)
+    prd_perfect = metrics.precision_recall_distribution(real, real)
+
+    stats = {}
+    for model_name, test_points in [("baseline", [baseline]),
+                                    ("ncsn", gen_test_points),
+                                    ("random", random_points),
+                                    ("real", real_points)]:
+        log_dir = f"{model_name}/"
+        if any(point is None for point in test_points):
+            continue
+        for i, samples in enumerate(test_points):
+            if samples.shape[-1] == 2 and samples.ndim == 2:
+                writer.image(f"{log_dir}fake",
+                             plots.scatter_2d(samples).getvalue(), i)
+
+            prd_dist = metrics.precision_recall_distribution(real, samples)
+            import io as _io
+            fig = metrics.prd.plot([prd_dist, prd_init, prd_perfect],
+                                   [model_name, "noise", "real"])
+            buf = _io.BytesIO()
+            fig.savefig(buf, format="png")
+            import matplotlib.pyplot as plt
+            plt.close(fig)
+            buf.seek(0)
+            writer.image(f"{log_dir}prd", buf.getvalue(), i)
+
+            recall, precision = metrics.prd_f_beta_score(prd_dist)
+            f1 = metrics.f1_score(precision, recall)
+            improved_p, improved_r = metrics.precision_recall(real, samples)
+            improved_f1 = metrics.f1_score(improved_p, improved_r)
+            realism = float(metrics.realism_scores(real, samples).mean())
+            ndb = metrics.ndb_score(real, samples, k=50)
+            fd = metrics.frechet_distance(real, samples)
+            mmd_rbf = metrics.mmd_rbf(real, samples)
+            mmd_poly = metrics.mmd_polynomial(real, samples)
+
+            for tag, val in [("precision", precision), ("recall", recall),
+                             ("f1", f1),
+                             ("improved_precision", improved_p),
+                             ("improved_recall", improved_r),
+                             ("improved_f1", improved_f1),
+                             ("ipr_realism", realism), ("ndb", ndb),
+                             ("frechet_distance", fd), ("mmd_rbf", mmd_rbf),
+                             ("mmd_polynomial", mmd_poly)]:
+                writer.scalar(f"{log_dir}{tag}", val, i)
+
+            stats = {
+                "precision": precision, "recall": recall, "f1": f1,
+                "improved_precision": improved_p,
+                "improved_recall": improved_r, "improved_f1": improved_f1,
+                "realism": realism, "frechet_dist": fd, "mmd_rbf": mmd_rbf,
+                "mmd_polynomial": mmd_poly,
+            }
+    writer.flush()
+    return stats
+
+
+def main(argv):
+    del argv
+    logging.info(FLAGS.flags_into_string())
+
+    import jax
+    import tensorflow as tf
+    tf.config.experimental.set_visible_devices([], "GPU")
+
+    from smd_tpu.data import transforms
+    from smd_tpu.eval import plots
+    from smd_tpu.sampling import generate
+    from smd_tpu.utils import io as io_lib
+    from smd_tpu.utils.logging import SummaryWriter, log_metrics
+
+    log_dir = FLAGS.sampling_dir
+    writer = SummaryWriter(log_dir)
+    pca, slice_idx, dim_weights = cli.load_transforms_from_flags()
+
+    train_ds, eval_ds = cli.dataset_from_flags(include_cardinality=False)
+    real = eval_ds.take_examples(FLAGS.sample_size)
+    shape = real[0].shape
+
+    model, state = cli.restore_state_for_sampling(shape)
+    params = state.sampling_params if FLAGS.ema else state.params
+    model_fn = lambda x, cond: model.apply(params, x, cond)
+    sigmas = cli.schedule_from_flags()
+    rng = jax.random.PRNGKey(FLAGS.sample_seed)
+
+    t0 = time.time()
+    if FLAGS.infill:
+        samples, masks = generate.infill_edge_mask(real, FLAGS.problem)
+        generated, collection, ld_metrics = generate.sample(
+            model_fn, sigmas, rng, shape, num_samples=len(real),
+            sampling=FLAGS.sampling, epsilon=FLAGS.ld_epsilon,
+            steps=FLAGS.ld_steps, denoise=FLAGS.denoise,
+            infill_samples=samples, infill_masks=masks)
+    elif FLAGS.interpolate:
+        generated, collection, ld_metrics = generate.interpolate(
+            model_fn, sigmas, rng, real)
+        collection = np.stack([np.asarray(g) for g in generated])
+    else:
+        generated, collection, ld_metrics = generate.sample(
+            model_fn, sigmas, rng, shape, num_samples=len(real),
+            sampling=FLAGS.sampling, epsilon=FLAGS.ld_epsilon,
+            steps=FLAGS.ld_steps, denoise=FLAGS.denoise)
+    logging.info("Generated samples in %f seconds", time.time() - t0)
+
+    generated = np.asarray(generated)
+    collection = np.asarray(collection)
+
+    if FLAGS.animate and shape[-1] == 2:
+        buf = plots.animate_scatter_2d(collection[::2], fps=240)
+        with open(os.path.join(log_dir, "animated.gif"), "wb") as f:
+            f.write(buf.getvalue())
+
+    if FLAGS.flush:
+        generated_t = transforms.inverse_data_transform(
+            generated, FLAGS.normalize, pca, train_ds.min, train_ds.max,
+            slice_idx, dim_weights)
+        if not FLAGS.interpolate:
+            collection_t = transforms.inverse_data_transform(
+                collection, FLAGS.normalize, pca, train_ds.min, train_ds.max,
+                slice_idx, dim_weights)
+            io_lib.save(collection_t,
+                        os.path.join(log_dir, "ncsn/collection.pkl"))
+        real_t = transforms.inverse_data_transform(
+            real, FLAGS.normalize, pca, eval_ds.min, eval_ds.max, slice_idx,
+            dim_weights)
+        io_lib.save(real_t, os.path.join(log_dir, "ncsn/real.pkl"))
+        io_lib.save(generated_t, os.path.join(log_dir, "ncsn/generated.pkl"))
+
+    if FLAGS.compute_metrics:
+        stats = evaluate(writer, real, collection, None, real)
+        log_metrics(stats, 1, 1)
+
+
+if __name__ == "__main__":
+    app.run(main)

@@ -19,3 +19,12 @@ Subpackages
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("SMD_TPU_PLATFORM"):
+    # Explicit platform override (e.g. SMD_TPU_PLATFORM=cpu for CI):
+    # needed because the image's sitecustomize imports jax and pins the
+    # remote-TPU platform before env vars can take effect.
+    import jax as _jax
+    _jax.config.update("jax_platforms", _os.environ["SMD_TPU_PLATFORM"])

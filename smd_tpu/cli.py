@@ -1,0 +1,220 @@
+"""Shared CLI flag definitions and helpers.
+
+Preserves the reference's flag surface (``train_ncsn.py:48-128``,
+``train_mdn.py:49-97``, ``sample_ncsn.py:51-66``) so the layered
+``configs/*.cfg`` flagfiles work unchanged, while backing the flags with the
+typed ``TrainConfig`` dataclass.
+"""
+from __future__ import annotations
+
+from absl import flags
+
+from smd_tpu.diffusion import schedules
+from smd_tpu.models import get_model
+from smd_tpu.training.diffusion import TrainConfig
+
+FLAGS = flags.FLAGS
+
+
+def define_common_flags():
+    flags.DEFINE_integer("seed", 0, "Random seed for network initialization.")
+    # Training
+    flags.DEFINE_float("learning_rate", 3e-4, "Learning rate for optimizer.")
+    flags.DEFINE_integer("batch_size", 128, "Batch size for training.")
+    flags.DEFINE_integer("epochs", 10, "Number of training epochs.")
+    flags.DEFINE_integer("max_steps", None, "Maximum number of training steps.")
+    # Training stability
+    flags.DEFINE_boolean("early_stopping", False,
+                         "Use early stopping to prevent overfitting.")
+    flags.DEFINE_float("grad_clip", 1.0, "Max gradient norm for training.")
+    flags.DEFINE_float("lr_gamma", 0.98, "Gamma for learning rate scheduler.")
+    flags.DEFINE_integer("lr_schedule_interval", 10000,
+                         "Number of steps between LR changes.")
+    flags.DEFINE_float("lr_warmup", 0, "Learning rate warmup (steps).")
+    # Model
+    flags.DEFINE_string("architecture", "TransformerDDPM",
+                        "Class name of model architecture.")
+    flags.DEFINE_integer("num_layers", 6, "Number of encoder layers.")
+    flags.DEFINE_integer("num_heads", 8, "Number of attention heads.")
+    flags.DEFINE_integer("num_mlp_layers", 2, "Number of MLP layers.")
+    flags.DEFINE_integer("mlp_dims", 2048, "Number of channels per MLP layer.")
+    flags.DEFINE_integer("mdn_components", 100, "Number of mixtures.")
+    # Data
+    flags.DEFINE_list("data_shape", [2], "Shape of data.")
+    flags.DEFINE_enum("problem", "toy", ["toy", "mnist", "vae", "tokens"],
+                      "Problem to solve.")
+    flags.DEFINE_string(
+        "dataset", "./output/mix2d",
+        "Path to directory containing data as train/eval tfrecord files.")
+    flags.DEFINE_string("pca_ckpt", "", "PCA transform.")
+    flags.DEFINE_string("slice_ckpt", "", "Slice transform.")
+    flags.DEFINE_string("dim_weights_ckpt", "", "Dimension scale transform.")
+    flags.DEFINE_boolean("normalize", True, "Normalize dataset to [-1, 1].")
+    # Logging, checkpointing, and evaluation
+    flags.DEFINE_integer("logging_freq", 100, "Logging frequency.")
+    flags.DEFINE_integer("snapshot_freq", 5000,
+                         "Evaluation and checkpoint frequency.")
+    flags.DEFINE_boolean("snapshot_sampling", True,
+                         "Sample from score network during evaluation.")
+    flags.DEFINE_integer("eval_samples", 3000,
+                         "Number of samples to generate.")
+    flags.DEFINE_integer("checkpoints_to_keep", 50,
+                         "Number of checkpoints to keep.")
+    flags.DEFINE_boolean("save_ckpt", True,
+                         "Save model checkpoints at each evaluation step.")
+    flags.DEFINE_string("model_dir", "./save/ncsn",
+                        "Directory to store model data.")
+    flags.DEFINE_boolean("verbose", True, "Toggle logging to stdout.")
+    # Parallelism (new: the reference was single-device)
+    flags.DEFINE_integer("model_parallelism", 1,
+                         "Size of the tensor-parallel mesh axis.")
+
+
+def define_diffusion_flags():
+    flags.DEFINE_enum("loss", "dsm", ["dsm", "ssm", "ddpm"], "Loss function.")
+    flags.DEFINE_boolean("continuous_noise", True,
+                         "Continuous noise conditioning.")
+    # Noise schedule
+    flags.DEFINE_float("sigma_begin", 1.0,
+                       "Starting variance for noise schedule.")
+    flags.DEFINE_float("sigma_end", 1e-2,
+                       "Ending variance for noise schedule.")
+    flags.DEFINE_enum("schedule_type", "geometric",
+                      ["geometric", "linear", "fibonacci"],
+                      "Noise schedule configuration.")
+    flags.DEFINE_integer("num_sigmas", 15,
+                         "Number of sigma values (L) in noise schedule.")
+    # Langevin dynamics (NCSN only)
+    flags.DEFINE_integer("ld_steps", 100,
+                         "Number of steps for annealed Langevin dynamics.")
+    flags.DEFINE_float("ld_epsilon", 2e-6,
+                       "Step size for annealed Langevin dynamics.")
+    # Sampling
+    flags.DEFINE_enum("sampling", "ald", ["ald", "cas", "ddpm"],
+                      "Sampling algorithm to use.")
+    flags.DEFINE_boolean("ema", True, "Exponential moving average smoothing.")
+    flags.DEFINE_float("mu", 0.999, "Momentum parameter for EMA.")
+    flags.DEFINE_boolean(
+        "denoise", True,
+        "Add additional denoising step during sampling (Song et al., 2020).")
+
+
+def define_sampling_flags():
+    flags.DEFINE_integer("sample_seed", 1,
+                         "Random number generator seed for sampling.")
+    flags.DEFINE_string("sampling_dir", "samples", "Sampling directory.")
+    flags.DEFINE_integer("sample_size", 1000, "Number of samples.")
+    flags.DEFINE_boolean("compute_metrics", False,
+                         "Compute evaluation metrics for generated samples.")
+    flags.DEFINE_boolean("compute_final_only", False,
+                         "Do not include metrics for intermediate samples.")
+    flags.DEFINE_boolean("flush", True, "Flush generated samples to disk.")
+    flags.DEFINE_boolean("animate", False, "Generate animation of samples.")
+    flags.DEFINE_boolean("infill", False, "Infill.")
+    flags.DEFINE_boolean("interpolate", False, "Interpolate.")
+
+
+def train_config_from_flags(mdn: bool = False) -> TrainConfig:
+    cfg = TrainConfig(
+        learning_rate=FLAGS.learning_rate,
+        batch_size=FLAGS.batch_size,
+        epochs=FLAGS.epochs,
+        max_steps=FLAGS.max_steps,
+        early_stopping=FLAGS.early_stopping,
+        grad_clip=FLAGS.grad_clip,
+        lr_gamma=FLAGS.lr_gamma,
+        lr_schedule_interval=FLAGS.lr_schedule_interval,
+        lr_warmup=int(FLAGS.lr_warmup),
+        logging_freq=FLAGS.logging_freq,
+        snapshot_freq=FLAGS.snapshot_freq,
+        checkpoints_to_keep=FLAGS.checkpoints_to_keep,
+        save_ckpt=FLAGS.save_ckpt,
+        verbose=FLAGS.verbose,
+    )
+    if not mdn:
+        cfg.loss = FLAGS.loss
+        cfg.continuous_noise = FLAGS.continuous_noise
+        cfg.ema = FLAGS.ema
+        cfg.mu = FLAGS.mu
+    else:
+        cfg.ema = False
+    return cfg
+
+
+def model_from_flags(mdn: bool = False):
+    kwargs = dict(num_layers=FLAGS.num_layers, num_heads=FLAGS.num_heads,
+                  num_mlp_layers=FLAGS.num_mlp_layers,
+                  mlp_dims=FLAGS.mlp_dims)
+    if mdn:
+        kwargs["mdn_mixtures"] = FLAGS.mdn_components
+    return get_model(FLAGS.architecture, **kwargs)
+
+
+def schedule_from_flags():
+    return schedules.noise_schedule(FLAGS.sigma_begin, FLAGS.sigma_end,
+                                    FLAGS.num_sigmas,
+                                    kind=FLAGS.schedule_type)
+
+
+def mesh_from_flags():
+    import jax
+    from smd_tpu.parallel import mesh as mesh_lib
+    n = jax.device_count()
+    model_axis = max(1, FLAGS.model_parallelism)
+    if n == 1 and model_axis == 1:
+        return None
+    return mesh_lib.make_mesh(
+        mesh_lib.MeshConfig(data=n // model_axis, model=model_axis))
+
+
+def dataset_from_flags(include_cardinality=True, problem=None):
+    from smd_tpu.data import pipeline
+    return pipeline.get_dataset(
+        dataset=FLAGS.dataset,
+        data_shape=FLAGS.data_shape,
+        problem=problem if problem is not None else FLAGS.problem,
+        batch_size=FLAGS.batch_size,
+        normalize=FLAGS.normalize,
+        pca_ckpt=FLAGS.pca_ckpt,
+        slice_ckpt=FLAGS.slice_ckpt,
+        dim_weights_ckpt=FLAGS.dim_weights_ckpt,
+        include_cardinality=include_cardinality)
+
+
+def load_transforms_from_flags():
+    import os
+    from smd_tpu.utils import io as io_lib
+    pca = io_lib.load(os.path.expanduser(
+        FLAGS.pca_ckpt)) if FLAGS.pca_ckpt else None
+    slice_idx = io_lib.load(os.path.expanduser(
+        FLAGS.slice_ckpt)) if FLAGS.slice_ckpt else None
+    dim_weights = io_lib.load(os.path.expanduser(
+        FLAGS.dim_weights_ckpt)) if FLAGS.dim_weights_ckpt else None
+    return pca, slice_idx, dim_weights
+
+
+def restore_state_for_sampling(input_shape, mdn: bool = False):
+    """Rebuild the model from flags and restore the latest checkpoint."""
+    import jax
+    from smd_tpu.training import diffusion as dtrainer
+    from smd_tpu.training import mdn as mtrainer
+    from smd_tpu.utils.checkpoints import CheckpointManager
+
+    model = model_from_flags(mdn=mdn)
+    config = train_config_from_flags(mdn=mdn)
+    rng = jax.random.PRNGKey(FLAGS.seed)
+    if mdn:
+        state = mtrainer.create_train_state(rng, model,
+                                            (1, *input_shape), config)
+    else:
+        cond_shape = (1, *([1] * len(input_shape)))
+        state = dtrainer.create_train_state(rng, model, (1, *input_shape),
+                                            cond_shape, config)
+    manager = CheckpointManager(f"{FLAGS.model_dir}/ckpt",
+                                keep=config.checkpoints_to_keep)
+    if manager.latest_step is None:
+        raise FileNotFoundError(
+            f"No checkpoint found under {FLAGS.model_dir}/ckpt")
+    state = manager.restore_latest(state)
+    manager.close()
+    return model, state

@@ -27,8 +27,8 @@ from smd_tpu.diffusion import losses as losses_lib
 from smd_tpu.parallel import mesh as mesh_lib
 from smd_tpu.training.optimizer import (make_optimizer,
                                         stepped_exponential_schedule)
-from smd_tpu.training.state import EarlyStopping, TrainState
-from smd_tpu.utils import checkpoints as ckpt_lib
+from smd_tpu.training import loop as loop_lib
+from smd_tpu.training.state import TrainState
 from smd_tpu.utils import logging as log_lib
 
 __all__ = ["TrainConfig", "objective_by_name", "create_train_state",
@@ -123,14 +123,7 @@ def make_eval_step(model, objective, sigmas, continuous_noise: bool):
     return eval_step
 
 
-def evaluate(eval_step, params, dataset: Iterable, rng):
-    count, total = 0, 0.0
-    for batch in dataset:
-        batch = jnp.asarray(batch)
-        rng, eval_rng = jax.random.split(rng)
-        total += float(eval_step(params, batch, eval_rng))
-        count += batch.shape[0]
-    return {"loss": total / max(count, 1)}
+evaluate = loop_lib.evaluate
 
 
 def fit(model,
@@ -143,7 +136,7 @@ def fit(model,
         mesh=None,
         seed: int = 0,
         snapshot_callback: Optional[Callable] = None):
-    """Epoch/step training loop with logging, eval, checkpointing, resume.
+    """Train a score/diffusion model; see ``loop.run_loop`` for loop semantics.
 
     Args:
         model: Flax module with ``(x, cond)`` call signature.
@@ -151,9 +144,6 @@ def fit(model,
         train_data/eval_data: zero-arg callables returning a fresh iterable of
             numpy batches per epoch (mirrors tf.data re-iteration).
         input_shape: per-example shape, e.g. (32, 512).
-        config: TrainConfig.
-        model_dir: checkpoint/log directory (None disables persistence).
-        mesh: optional jax Mesh for sharded training.
         snapshot_callback: fn(state, eval_metrics, sampling_step) called at
             each snapshot (the CLI hooks in-training sampling here).
 
@@ -177,76 +167,7 @@ def fit(model,
                                  config.continuous_noise, schedule)
     eval_step = make_eval_step(model, objective, sigmas,
                                config.continuous_noise)
-
-    early_stop = EarlyStopping(patience=1)
-    manager = None
-    train_writer = eval_writer = None
-    if model_dir is not None:
-        manager = ckpt_lib.CheckpointManager(f"{model_dir}/ckpt",
-                                             keep=config.checkpoints_to_keep)
-        if config.resume and manager.latest_step is not None:
-            state = manager.restore_latest(state)
-        train_writer = log_lib.SummaryWriter(f"{model_dir}/train")
-        eval_writer = log_lib.SummaryWriter(f"{model_dir}/eval")
-
-    global_step = int(state.step)
-    sampling_step = -1
-    stop = False
-    for epoch in range(config.epochs):
-        if stop:
-            break
-        start_time = time.time()
-        for step, batch in enumerate(train_data()):
-            batch = jnp.asarray(batch)
-            if mesh is not None:
-                batch = mesh_lib.shard_batch(batch, mesh)
-            rng, step_rng = jax.random.split(rng)
-            state, metrics = train_step(state, batch, step_rng)
-            global_step += 1
-
-            if step % config.logging_freq == 0:
-                elapsed = time.time() - start_time
-                metrics = {k: float(v) for k, v in metrics.items()}
-                metrics["batch/s"] = (step + 1) / elapsed
-                metrics["ms/batch"] = elapsed * 1000 / (step + 1)
-                log_lib.log_metrics(metrics, global_step, config.max_steps
-                                    or -1, epoch=None,
-                                    summary_writer=train_writer,
-                                    verbose=config.verbose)
-
-            at_snapshot = (global_step % config.snapshot_freq == 0
-                           and global_step > 0)
-            at_end = (config.max_steps is not None
-                      and global_step >= config.max_steps)
-            if at_snapshot or at_end:
-                sampling_step += 1
-                rng, eval_rng = jax.random.split(rng)
-                eval_metrics = evaluate(eval_step, state.params, eval_data(),
-                                        eval_rng)
-                log_lib.log_metrics(eval_metrics, global_step,
-                                    config.max_steps or -1,
-                                    summary_writer=eval_writer,
-                                    verbose=config.verbose)
-                improved, early_stop = early_stop.update(eval_metrics["loss"])
-
-                if manager is not None and config.save_ckpt and \
-                        (not config.early_stopping or improved):
-                    manager.save(global_step, state)
-
-                if snapshot_callback is not None:
-                    snapshot_callback(state, eval_metrics, sampling_step)
-
-                if config.early_stopping and early_stop.should_stop:
-                    stop = True
-                    break
-
-            if at_end:
-                stop = True
-                break
-
-    if manager is not None:
-        if manager.latest_step != global_step:
-            manager.save(global_step, state, force=True)
-        manager.wait()
-        manager.close()
-    return state
+    return loop_lib.run_loop(state, train_step, eval_step, train_data,
+                             eval_data, config, model_dir=model_dir,
+                             mesh=mesh, rng=rng, needs_rng=True,
+                             snapshot_callback=snapshot_callback)

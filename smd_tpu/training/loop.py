@@ -1,0 +1,132 @@
+"""Generic training loop shared by the diffusion and MDN harnesses.
+
+One loop implements the reference's two nearly-identical epoch loops
+(``train_ncsn.py:291-496``, ``train_mdn.py:224-321``): logging cadence,
+snapshot eval, Orbax checkpoint + resume, early stopping, max-steps cutoff.
+The model-specific pieces (state construction, jitted train/eval steps,
+snapshot sampling) are injected.
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from smd_tpu.parallel import mesh as mesh_lib
+from smd_tpu.training.state import EarlyStopping
+from smd_tpu.utils import checkpoints as ckpt_lib
+from smd_tpu.utils import logging as log_lib
+
+__all__ = ["evaluate", "run_loop"]
+
+
+def evaluate(eval_step, params, dataset: Iterable, rng=None):
+    """Mean per-example loss over a dataset; eval_step returns a summed loss."""
+    count, total = 0, 0.0
+    for batch in dataset:
+        batch = jnp.asarray(batch)
+        if rng is not None:
+            rng, eval_rng = jax.random.split(rng)
+            total += float(eval_step(params, batch, eval_rng))
+        else:
+            total += float(eval_step(params, batch))
+        count += batch.shape[0]
+    return {"loss": total / max(count, 1)}
+
+
+def run_loop(state,
+             train_step: Callable,
+             eval_step: Callable,
+             train_data: Callable[[], Iterable],
+             eval_data: Callable[[], Iterable],
+             config,
+             model_dir: Optional[str] = None,
+             mesh=None,
+             rng=None,
+             needs_rng: bool = True,
+             snapshot_callback: Optional[Callable] = None):
+    """Run the epoch/step loop; returns the final state.
+
+    ``train_step(state, batch[, rng]) -> (state, metrics)``;
+    ``eval_step(params, batch[, rng]) -> summed loss``.
+    """
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    early_stop = EarlyStopping(patience=1)
+    manager = train_writer = eval_writer = None
+    if model_dir is not None:
+        manager = ckpt_lib.CheckpointManager(f"{model_dir}/ckpt",
+                                             keep=config.checkpoints_to_keep)
+        if config.resume and manager.latest_step is not None:
+            state = manager.restore_latest(state)
+        train_writer = log_lib.SummaryWriter(f"{model_dir}/train")
+        eval_writer = log_lib.SummaryWriter(f"{model_dir}/eval")
+
+    global_step = int(state.step)
+    sampling_step = -1
+    stop = False
+    for epoch in range(config.epochs):
+        if stop:
+            break
+        start_time = time.time()
+        for step, batch in enumerate(train_data()):
+            batch = jnp.asarray(batch)
+            if mesh is not None:
+                batch = mesh_lib.shard_batch(batch, mesh)
+            if needs_rng:
+                rng, step_rng = jax.random.split(rng)
+                state, metrics = train_step(state, batch, step_rng)
+            else:
+                state, metrics = train_step(state, batch)
+            global_step += 1
+
+            if step % config.logging_freq == 0:
+                elapsed = time.time() - start_time
+                metrics = {k: float(v) for k, v in metrics.items()}
+                metrics["batch/s"] = (step + 1) / elapsed
+                metrics["ms/batch"] = elapsed * 1000 / (step + 1)
+                log_lib.log_metrics(metrics, global_step,
+                                    config.max_steps or -1, epoch=None,
+                                    summary_writer=train_writer,
+                                    verbose=config.verbose)
+
+            at_snapshot = (global_step % config.snapshot_freq == 0
+                           and global_step > 0)
+            at_end = (config.max_steps is not None
+                      and global_step >= config.max_steps)
+            if at_snapshot or at_end:
+                sampling_step += 1
+                if needs_rng:
+                    rng, eval_rng = jax.random.split(rng)
+                else:
+                    eval_rng = None
+                eval_metrics = evaluate(eval_step, state.params, eval_data(),
+                                        eval_rng)
+                log_lib.log_metrics(eval_metrics, global_step,
+                                    config.max_steps or -1,
+                                    summary_writer=eval_writer,
+                                    verbose=config.verbose)
+                improved, early_stop = early_stop.update(eval_metrics["loss"])
+
+                if manager is not None and config.save_ckpt and \
+                        (not config.early_stopping or improved):
+                    manager.save(global_step, state)
+
+                if snapshot_callback is not None:
+                    snapshot_callback(state, eval_metrics, sampling_step)
+
+                if config.early_stopping and early_stop.should_stop:
+                    stop = True
+                    break
+
+            if at_end:
+                stop = True
+                break
+
+    if manager is not None:
+        if manager.latest_step != global_step:
+            manager.save(global_step, state, force=True)
+        manager.wait()
+        manager.close()
+    return state

@@ -1,0 +1,97 @@
+"""End-to-end CLI tests: train + sample via the flag-compatible entry points.
+
+Run as subprocesses (absl flags are process-global) with SMD_TPU_PLATFORM=cpu.
+"""
+import os
+import pickle
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, cwd=REPO, timeout=420):
+    env = dict(os.environ)
+    env["SMD_TPU_PLATFORM"] = "cpu"
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_cache"
+    env["TF_CPP_MIN_LOG_LEVEL"] = "3"
+    proc = subprocess.run([sys.executable] + args, cwd=cwd, env=env,
+                          capture_output=True, text=True, timeout=timeout)
+    if proc.returncode != 0:
+        raise AssertionError(
+            f"CLI failed ({args}):\nSTDOUT:{proc.stdout[-2000:]}\n"
+            f"STDERR:{proc.stderr[-4000:]}")
+    return proc
+
+
+@pytest.fixture(scope="module")
+def toy_tfrecords(tmp_path_factory):
+    from smd_tpu.data import records, synthetic
+    d = tmp_path_factory.mktemp("mix2d")
+    rng = np.random.default_rng(0)
+    for split in ("train", "eval"):
+        data = synthetic.toy_distribution(512, rng)
+        records.write_tfrecord(str(d / f"{split}-0000.tfrecord"), data)
+    return str(d)
+
+
+@pytest.mark.slow
+def test_train_and_sample_ncsn_cli(toy_tfrecords, tmp_path):
+    model_dir = str(tmp_path / "ddpm2d")
+    common = [
+        "--problem=toy", "--data_shape=2", f"--dataset={toy_tfrecords}",
+        f"--model_dir={model_dir}", "--architecture=ToyDDPM",
+        "--loss=ddpm", "--sampling=ddpm", "--schedule_type=linear",
+        "--sigma_begin=1e-6", "--sigma_end=0.01", "--num_sigmas=50",
+        "--batch_size=64", "--normalize",
+    ]
+    _run(["train_ncsn.py"] + common + [
+        "--epochs=2", "--max_steps=6", "--snapshot_freq=1000",
+        "--logging_freq=1000", "--nosnapshot_sampling", "--noverbose",
+    ])
+    assert os.path.isdir(os.path.join(model_dir, "ckpt"))
+
+    sampling_dir = str(tmp_path / "samples")
+    _run(["sample_ncsn.py"] + common + [
+        f"--sampling_dir={sampling_dir}", "--sample_size=32",
+        "--sample_seed=1", "--flush", "--nocompute_metrics",
+    ])
+    gen = pickle.load(
+        open(os.path.join(sampling_dir, "ncsn", "generated.pkl"), "rb"))
+    assert gen.shape == (32, 2)
+    real = pickle.load(
+        open(os.path.join(sampling_dir, "ncsn", "real.pkl"), "rb"))
+    assert real.shape == (32, 2)
+
+
+@pytest.mark.slow
+def test_train_and_sample_mdn_cli(tmp_path, tmp_path_factory):
+    from smd_tpu.data import records, synthetic
+    d = tmp_path_factory.mktemp("seq2d")
+    rng = np.random.default_rng(0)
+    for split in ("train", "eval"):
+        data = synthetic.toy_sequence_distribution(8, 128, rng)
+        records.write_tfrecord(str(d / f"{split}-0000.tfrecord"), data)
+
+    model_dir = str(tmp_path / "mdn2d")
+    common = [
+        "--data_shape=8,2", f"--dataset={d}", f"--model_dir={model_dir}",
+        "--architecture=TransformerMDN", "--num_layers=1", "--num_heads=2",
+        "--num_mlp_layers=1", "--mlp_dims=16", "--mdn_components=2",
+        "--batch_size=32", "--normalize",
+    ]
+    _run(["train_mdn.py"] + common + [
+        "--epochs=1", "--max_steps=3", "--snapshot_freq=1000",
+        "--logging_freq=1000", "--noverbose",
+    ])
+
+    sampling_dir = str(tmp_path / "mdn_samples")
+    _run(["sample_mdn.py"] + common + [
+        f"--sampling_dir={sampling_dir}", "--sample_size=16", "--flush",
+    ])
+    gen = pickle.load(
+        open(os.path.join(sampling_dir, "mdn", "generated.pkl"), "rb"))
+    assert gen.shape == (16, 8, 2)

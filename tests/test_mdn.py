@@ -1,0 +1,70 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smd_tpu.models import get_model
+from smd_tpu.sampling import mdn_decode
+from smd_tpu.training import mdn as mdn_trainer
+from smd_tpu.training.diffusion import TrainConfig
+
+
+def test_sample_mixture_statistics(rng):
+    """Point-mass mixture at component means: samples match selection."""
+    N, K, D = 4096, 3, 2
+    pi = jnp.log(jnp.broadcast_to(jnp.array([0.7, 0.2, 0.1]), (N, K)))
+    mus = jnp.stack([jnp.full((N, D), m) for m in (0.0, 10.0, -10.0)], axis=1)
+    log_sigma = jnp.full((N, K * D), -6.0)  # tiny sigma
+    out = mdn_decode.sample_mixture(rng, pi, mus.reshape(N, -1), log_sigma, D)
+    assert out.shape == (N, D)
+    frac0 = (np.abs(np.asarray(out[:, 0])) < 1).mean()
+    frac1 = (np.asarray(out[:, 0]) > 5).mean()
+    assert abs(frac0 - 0.7) < 0.05
+    assert abs(frac1 - 0.2) < 0.05
+
+
+def test_ar_decode_shapes_and_determinism(rng):
+    model = get_model("TransformerMDN", num_layers=1, num_heads=2,
+                      num_mlp_layers=1, mlp_dims=32, mdn_mixtures=4)
+    x = jnp.zeros((2, 8, 6))
+    params = model.init(jax.random.PRNGKey(0), x)
+    model_fn = lambda tokens: model.apply(params, tokens, shift=False)
+
+    out1 = mdn_decode.ar_decode(rng, model_fn, 2, steps=8, channels=6)
+    out2 = mdn_decode.ar_decode(rng, model_fn, 2, steps=8, channels=6)
+    assert out1.shape == (2, 8, 6)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    assert np.isfinite(np.asarray(out1)).all()
+
+
+def test_mdn_training_decreases_loss():
+    model = get_model("TransformerMDN", num_layers=1, num_heads=2,
+                      num_mlp_layers=1, mlp_dims=32, mdn_mixtures=4)
+    config = TrainConfig(batch_size=16, learning_rate=1e-3)
+    rng = jax.random.PRNGKey(0)
+    state = mdn_trainer.create_train_state(rng, model, (16, 8, 4), config)
+    step = mdn_trainer.make_train_step(model)
+
+    batch = jax.random.normal(jax.random.PRNGKey(1), (16, 8, 4)) * 0.5
+    losses = []
+    for _ in range(25):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+
+
+def test_mdn_fit_and_eval(tmp_path):
+    model = get_model("TransformerMDN", num_layers=1, num_heads=2,
+                      num_mlp_layers=1, mlp_dims=16, mdn_mixtures=2)
+    config = TrainConfig(batch_size=8, epochs=1, max_steps=4,
+                         snapshot_freq=100, logging_freq=100, verbose=False)
+    rng = np.random.default_rng(0)
+
+    def data():
+        for _ in range(6):
+            yield rng.normal(size=(8, 4, 4)).astype(np.float32) * 0.3
+
+    state = mdn_trainer.fit(model, data, lambda: list(data())[:1], (4, 4),
+                            config, str(tmp_path / "mdn"))
+    assert int(state.step) == 4
+    assert state.ema_params is None  # reference MDN training has no EMA

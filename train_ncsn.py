@@ -1,0 +1,133 @@
+"""Train iterative refinement networks (NCSN and DDPM) — CLI.
+
+Flag-compatible with the reference's ``train_ncsn.py`` (same flags, same
+layered ``--flagfile`` configs); the implementation is the TPU-native
+``smd_tpu`` stack: mesh-jitted fused train step, Orbax resume, fused scan
+samplers for snapshot sampling.
+"""
+from __future__ import annotations
+
+import functools
+
+from absl import app, flags, logging
+
+from smd_tpu import cli
+
+FLAGS = flags.FLAGS
+cli.define_common_flags()
+cli.define_diffusion_flags()
+
+
+def snapshot_sampling_callback(model, sigmas, train_ds, eval_ds, writer,
+                               output_dir):
+    """In-training sampling + logging (reference ``train_ncsn.py:405-486``)."""
+    import numpy as np
+    import jax
+
+    from smd_tpu.data import transforms
+    from smd_tpu.eval import plots
+    from smd_tpu.sampling import generate
+    from smd_tpu.utils import io as io_lib
+
+    pca, slice_idx, dim_weights = cli.load_transforms_from_flags()
+
+    def callback(state, eval_metrics, sampling_step):
+        params = state.sampling_params
+        model_fn = lambda x, cond: model.apply(params, x, cond)
+        rng = jax.random.PRNGKey(FLAGS.seed + sampling_step + 1)
+        input_shape = tuple(int(s) for s in FLAGS.data_shape)
+        if FLAGS.slice_ckpt:
+            input_shape = (*input_shape[:-1], len(slice_idx))
+        generated, collection, _ = generate.sample(
+            model_fn, sigmas, rng, input_shape,
+            num_samples=FLAGS.eval_samples, sampling=FLAGS.sampling,
+            epsilon=FLAGS.ld_epsilon, steps=FLAGS.ld_steps,
+            denoise=FLAGS.denoise)
+
+        init = np.asarray(collection[0])
+        generated = np.asarray(generated)
+        real = eval_ds.take_examples(FLAGS.eval_samples)
+
+        inv = functools.partial(transforms.inverse_data_transform,
+                                normalize_flag=FLAGS.normalize, pca=pca,
+                                data_min=train_ds.min, data_max=train_ds.max,
+                                slice_idx=slice_idx, dim_weights=dim_weights)
+        real_t = transforms.inverse_data_transform(
+            real, FLAGS.normalize, pca, eval_ds.min, eval_ds.max, slice_idx,
+            dim_weights)
+        init_t, generated_t = inv(init), inv(generated)
+
+        step = int(state.step)
+        if FLAGS.problem == "toy":
+            writer.image("init", plots.scatter_2d(init_t, scale=8).getvalue(),
+                         step)
+            writer.image("real", plots.scatter_2d(real_t, scale=8).getvalue(),
+                         step)
+            writer.image("fake",
+                         plots.scatter_2d(generated_t, scale=8).getvalue(),
+                         step)
+            if len(input_shape) == 1 and FLAGS.sampling != "ddpm":
+                for sigma in np.asarray(sigmas)[:: max(1,
+                                                       len(sigmas) // 8)]:
+                    buf = plots.score_field_2d(model_fn, sigma, scale=8)
+                    writer.image(f"score_sigma={sigma:.4f}", buf.getvalue(),
+                                 step)
+        elif FLAGS.problem == "mnist":
+            writer.image("fake",
+                         plots.image_tiles(generated_t[:10]).getvalue(), step)
+        elif FLAGS.problem == "vae":
+            shape = (input_shape[0], 32) if len(input_shape) > 1 else (16, 32)
+            writer.image(
+                "fake",
+                plots.image_tiles(
+                    generated_t[:10].reshape(10, -1)[:, :shape[0] * shape[1]],
+                    shape=shape).getvalue(), step)
+            for category, samples in (("init", init_t), ("real", real_t),
+                                      ("fake", generated_t)):
+                io_lib.save(
+                    samples,
+                    f"{output_dir}/samples/{category}/{step}.pkl")
+        writer.flush()
+
+    return callback
+
+
+def main(argv):
+    del argv
+    logging.info(FLAGS.flags_into_string())
+
+    import tensorflow as tf
+    tf.config.experimental.set_visible_devices([], "GPU")
+
+    from smd_tpu.training import diffusion as trainer
+    from smd_tpu.utils.logging import SummaryWriter
+
+    train_ds, eval_ds = cli.dataset_from_flags()
+    sigmas = cli.schedule_from_flags()
+    model = cli.model_from_flags()
+    config = cli.train_config_from_flags()
+    mesh = cli.mesh_from_flags()
+
+    sample_batch = next(iter(eval_ds))
+    input_shape = sample_batch.shape[1:]
+
+    callback = None
+    if FLAGS.snapshot_sampling:
+        writer = SummaryWriter(f"{FLAGS.model_dir}/eval")
+        callback = snapshot_sampling_callback(model, sigmas, train_ds,
+                                              eval_ds, writer,
+                                              FLAGS.model_dir)
+
+    trainer.fit(model, sigmas,
+                train_data=lambda: iter(train_ds),
+                eval_data=lambda: iter(eval_ds),
+                input_shape=input_shape,
+                config=config,
+                model_dir=FLAGS.model_dir,
+                mesh=mesh,
+                seed=FLAGS.seed,
+                snapshot_callback=callback)
+
+
+if __name__ == "__main__":
+    app.run(main)
