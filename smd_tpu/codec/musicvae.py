@@ -1,0 +1,218 @@
+"""MusicVAE latent codec as Flax modules (TPU-resident).
+
+The reference drives an external TF1 MusicVAE ``TrainedModel`` through Beam
+workers on CPU (``generate_song_data_beam.py:52-57``, ``config.py:66-93``).
+Here the 2-bar melody model (cat-mel_2bar_big architecture: BiLSTM-2048
+encoder -> 512-d latent, 3x2048 LSTM categorical decoder) is implemented in
+Flax so encode/decode run batched under jit on TPU — the north-star encode
+path. Weights can be trained with ``elbo_loss`` or loaded from a converted
+checkpoint; without either, the architecture still provides full API parity
+for pipeline testing.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smd_tpu.codec.melody import MelodyConverter, melody_2bar_converter
+
+__all__ = ["MusicVAEConfig", "MusicVAE", "TrainedMusicVAE", "elbo_loss",
+           "MEL_2BAR_BIG"]
+
+
+@dataclasses.dataclass(frozen=True)
+class MusicVAEConfig:
+    latent_dims: int = 512
+    enc_units: int = 2048
+    dec_units: Tuple[int, ...] = (2048, 2048, 2048)
+    depth: int = 90           # melody vocab
+    max_seq_len: int = 32     # 2 bars at 16 steps/bar
+    free_bits: float = 0.0
+    beta: float = 0.2
+
+
+MEL_2BAR_BIG = MusicVAEConfig()
+
+
+class Encoder(nn.Module):
+    """Bidirectional LSTM encoder -> (mu, sigma)."""
+    config: MusicVAEConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        fwd = nn.RNN(nn.OptimizedLSTMCell(cfg.enc_units), return_carry=True,
+                     name="fwd")
+        bwd = nn.RNN(nn.OptimizedLSTMCell(cfg.enc_units), return_carry=True,
+                     reverse=True, name="bwd")
+        carry_f, _ = fwd(x)
+        carry_b, _ = bwd(x)
+        h = jnp.concatenate([carry_f[1], carry_b[1]], axis=-1)
+        mu = nn.Dense(cfg.latent_dims, name="mu")(h)
+        sigma = nn.softplus(nn.Dense(cfg.latent_dims, name="sigma")(h))
+        return mu, sigma
+
+
+class Decoder(nn.Module):
+    """Stacked-LSTM categorical decoder.
+
+    Teacher-forced mode (``targets`` given) returns logits for training;
+    sampling mode draws autoregressively with a temperature.
+    """
+    config: MusicVAEConfig
+
+    def setup(self):
+        cfg = self.config
+        self.cells = [nn.OptimizedLSTMCell(u, name=f"lstm_{i}")
+                      for i, u in enumerate(cfg.dec_units)]
+        self.initial_state = nn.Dense(
+            2 * sum(cfg.dec_units), name="z_to_initial_state")
+        self.output_projection = nn.Dense(cfg.depth, name="logits")
+
+    def _init_carries(self, z):
+        cfg = self.config
+        init = jnp.tanh(self.initial_state(z))
+        carries, offset = [], 0
+        for u in cfg.dec_units:
+            c = init[:, offset:offset + u]
+            h = init[:, offset + u:offset + 2 * u]
+            carries.append((c, h))
+            offset += 2 * u
+        return carries
+
+    def _step(self, carries, token, z):
+        x = jnp.concatenate([token, z], axis=-1)
+        new_carries = []
+        for cell, carry in zip(self.cells, carries):
+            carry, x = cell(carry, x)
+            new_carries.append(carry)
+        return new_carries, self.output_projection(x)
+
+    def __call__(self, z, targets=None, rng=None, temperature=1e-3,
+                 length: Optional[int] = None):
+        cfg = self.config
+        B = z.shape[0]
+        length = length if length is not None else cfg.max_seq_len
+        carries = self._init_carries(z)
+        token = jnp.zeros((B, cfg.depth), z.dtype)
+
+        logits_seq, samples_seq = [], []
+        for t in range(length):
+            carries, logits = self._step(carries, token, z)
+            logits_seq.append(logits)
+            if targets is not None:   # teacher forcing
+                token = targets[:, t]
+            else:
+                rng, step_rng = jax.random.split(rng)
+                idx = jax.random.categorical(
+                    step_rng, logits / jnp.maximum(temperature, 1e-6))
+                token = jax.nn.one_hot(idx, cfg.depth, dtype=z.dtype)
+                samples_seq.append(idx)
+        logits = jnp.stack(logits_seq, axis=1)
+        if targets is not None:
+            return logits
+        return logits, jnp.stack(samples_seq, axis=1)
+
+
+class MusicVAE(nn.Module):
+    config: MusicVAEConfig = MEL_2BAR_BIG
+
+    def setup(self):
+        self.encoder = Encoder(self.config)
+        self.decoder = Decoder(self.config)
+
+    def encode(self, x, rng):
+        mu, sigma = self.encoder(x)
+        z = mu + sigma * jax.random.normal(rng, mu.shape, mu.dtype)
+        return z, mu, sigma
+
+    def decode(self, z, rng, temperature=1e-3, length=None):
+        return self.decoder(z, rng=rng, temperature=temperature,
+                            length=length)
+
+    def __call__(self, x, rng):
+        """Training forward: reconstruction logits + posterior params."""
+        z, mu, sigma = self.encode(x, rng)
+        logits = self.decoder(z, targets=x)
+        return logits, mu, sigma
+
+
+def elbo_loss(logits, targets, mu, sigma, free_bits=0.0, beta=0.2):
+    """Negative ELBO: categorical reconstruction NLL + beta * KL (free bits)."""
+    labels = targets.argmax(-1)
+    log_probs = jax.nn.log_softmax(logits)
+    rec = -jnp.take_along_axis(log_probs, labels[..., None],
+                               axis=-1).squeeze(-1).sum(-1)
+    var = jnp.square(sigma)
+    kl = 0.5 * jnp.sum(jnp.square(mu) + var - 1 - jnp.log(var + 1e-12),
+                       axis=-1)
+    free_nats = free_bits * jnp.log(2.0)
+    kl_cost = jnp.maximum(kl - free_nats, 0.0)
+    return jnp.mean(rec + beta * kl_cost), {
+        "rec": jnp.mean(rec), "kl": jnp.mean(kl)}
+
+
+class TrainedMusicVAE:
+    """Batched encode/decode over NoteSequences — the TrainedModel analogue.
+
+    API parity with magenta's ``TrainedModel`` as used by the reference
+    (``song_utils.py:142-228``): ``encode(sequences) -> (z, mu, sigma)``,
+    ``decode(z, temperature, length) -> [NoteSequence]``.
+    """
+
+    def __init__(self, params=None, config: MusicVAEConfig = MEL_2BAR_BIG,
+                 converter: Optional[MelodyConverter] = None, seed: int = 0):
+        self.config = config
+        self.converter = converter or melody_2bar_converter
+        self.model = MusicVAE(config)
+        rng = jax.random.PRNGKey(seed)
+        if params is None:
+            x0 = jnp.zeros((1, config.max_seq_len, config.depth))
+            params = self.model.init(
+                {"params": rng}, x0, rng, method=MusicVAE.__call__)
+        self.params = params
+        self._rng = jax.random.PRNGKey(seed + 1)
+
+        self._encode_jit = jax.jit(
+            lambda p, x, k: self.model.apply(p, x, k,
+                                             method=MusicVAE.encode))
+        self._decode_jit = jax.jit(
+            lambda p, z, k, temp: self.model.apply(
+                p, z, k, temperature=temp, method=MusicVAE.decode))
+
+    def _next_rng(self):
+        self._rng, out = jax.random.split(self._rng)
+        return out
+
+    @property
+    def latent_dims(self):
+        return self.config.latent_dims
+
+    def encode_tensors(self, tensors):
+        x = jnp.asarray(np.stack(tensors), jnp.float32)
+        z, mu, sigma = self._encode_jit(self.params, x, self._next_rng())
+        return np.asarray(z), np.asarray(mu), np.asarray(sigma)
+
+    def encode(self, sequences: Sequence) -> Tuple[np.ndarray, ...]:
+        tensors = []
+        for ns in sequences:
+            inputs = self.converter.to_tensors(ns).inputs
+            if not inputs:
+                raise ValueError("Cannot encode an empty sequence")
+            tensors.append(inputs[0])
+        return self.encode_tensors(tensors)
+
+    def decode_to_tensors(self, z, temperature=1e-3):
+        z = jnp.asarray(z, jnp.float32)
+        _, samples = self._decode_jit(self.params, z, self._next_rng(),
+                                      float(temperature))
+        return np.asarray(samples)
+
+    def decode(self, z, temperature=1e-3, length=None) -> List:
+        samples = self.decode_to_tensors(z, temperature)
+        return self.converter.from_tensors(samples)

@@ -1,0 +1,159 @@
+import numpy as np
+import pytest
+
+from smd_tpu.codec import midi_io, song as song_lib
+from smd_tpu.codec.melody import (MelodyConverter, extract_melodies,
+                                  melody_2bar_converter, VOCAB_SIZE)
+from smd_tpu.codec.note_sequence import (NoteSequence, Tempo, TimeSignature,
+                                         trim_note_sequence)
+
+
+def _simple_melody(n_notes=8, pitch0=60, dur=0.25, gap=0.25):
+    ns = NoteSequence(tempos=[Tempo(qpm=120)],
+                     time_signatures=[TimeSignature()])
+    t = 0.0
+    for i in range(n_notes):
+        ns.add_note(pitch0 + i, 80, t, t + dur)
+        t += dur + gap
+    return ns
+
+
+def test_midi_roundtrip(tmp_path):
+    ns = _simple_melody()
+    data = midi_io.note_sequence_to_midi(ns)
+    back = midi_io.midi_to_note_sequence(data)
+    assert len(back.notes) == len(ns.notes)
+    for a, b in zip(sorted(ns.notes, key=lambda n: n.start_time),
+                    sorted(back.notes, key=lambda n: n.start_time)):
+        assert a.pitch == b.pitch
+        assert abs(a.start_time - b.start_time) < 0.01
+        assert abs(a.end_time - b.end_time) < 0.01
+    assert abs(back.qpm - 120) < 0.01
+
+
+def test_midi_file_io(tmp_path):
+    ns = _simple_melody()
+    path = str(tmp_path / "x.mid")
+    midi_io.write_midi_file(ns, path)
+    back = midi_io.read_midi_file(path)
+    assert len(back.notes) == 8
+
+
+def test_midi_multi_instrument_and_drums():
+    ns = NoteSequence(tempos=[Tempo(qpm=100)])
+    ns.add_note(60, 80, 0.0, 0.5, instrument=0, program=0)
+    ns.add_note(36, 100, 0.0, 0.25, instrument=9, is_drum=True)
+    back = midi_io.midi_to_note_sequence(midi_io.note_sequence_to_midi(ns))
+    drums = [n for n in back.notes if n.is_drum]
+    assert len(drums) == 1 and drums[0].pitch == 36
+
+
+def test_trim_note_sequence():
+    ns = _simple_melody(8, dur=0.5, gap=0.5)  # notes at 0,1,2,...
+    t = trim_note_sequence(ns, 1.0, 3.0)
+    assert all(1.0 <= n.start_time < 3.0 for n in t.notes)
+    assert len(t.notes) == 2
+
+
+def test_melody_converter_roundtrip():
+    conv = melody_2bar_converter
+    ns = _simple_melody(8, dur=0.25, gap=0.25)  # 4s = 2 bars at 120
+    out = conv.to_tensors(ns)
+    assert len(out.inputs) >= 1
+    seg = out.inputs[0]
+    assert seg.shape == (32, VOCAB_SIZE)
+    np.testing.assert_allclose(seg.sum(-1), 1.0)
+
+    back = conv.from_tensors([seg])[0]
+    assert len(back.notes) == 8
+    pitches = sorted(n.pitch for n in back.notes)
+    assert pitches == list(range(60, 68))
+
+
+def test_melody_converter_rest_chunk_empty():
+    ns = NoteSequence(tempos=[Tempo(qpm=120)])
+    assert melody_2bar_converter.to_tensors(ns).inputs == []
+
+
+def test_melody_converter_monophonic_reduction():
+    ns = NoteSequence(tempos=[Tempo(qpm=120)])
+    ns.add_note(60, 80, 0.0, 1.0)
+    ns.add_note(72, 80, 0.0, 1.0)  # higher simultaneous note wins
+    seg = melody_2bar_converter.to_tensors(ns).inputs[0]
+    events = seg.argmax(-1)
+    assert events[0] == 2 + 72 - 21
+
+
+def test_extract_melodies():
+    ns = NoteSequence(tempos=[Tempo(qpm=120)])
+    for i in range(8):  # melodic line on instrument 0
+        ns.add_note(60 + i, 80, i * 0.5, i * 0.5 + 0.4, instrument=0)
+    ns.add_note(36, 100, 0, 4, instrument=9, is_drum=True)  # drums skipped
+    melodies = extract_melodies(ns)
+    assert len(melodies) == 1
+    assert len(melodies[0].notes) == 8
+
+
+def test_song_chunks():
+    ns = _simple_melody(16, dur=0.25, gap=0.25)  # 8s = 4 bars
+    s = song_lib.Song(ns, melody_2bar_converter, chunk_length=2)
+    tensors, sequences = s.chunks()
+    assert len(tensors) == len(sequences)
+    assert len(sequences) >= 1
+    # 16 notes at 0.5s spacing end at 7.75s = 3.875 bars -> floor(3.875/2) = 1
+    assert s.count_chunks() == 1
+
+
+def test_spherical_interpolation():
+    p0 = np.array([[1.0, 0.0]])
+    p1 = np.array([[0.0, 1.0]])
+    mid = song_lib.spherical_interpolation(p0, p1, 0.5)
+    np.testing.assert_allclose(mid, [[np.sqrt(2) / 2, np.sqrt(2) / 2]],
+                               atol=1e-6)
+
+
+def test_fix_instruments_for_concatenation():
+    chunks = []
+    for _ in range(2):
+        ns = NoteSequence()
+        ns.add_note(60, 80, 0, 1, program=5)
+        ns.add_note(40, 80, 0, 1, program=33)
+        ns.add_note(36, 90, 0, 1, is_drum=True)
+        chunks.append(ns)
+    song_lib.fix_instruments_for_concatenation(chunks)
+    for ns in chunks:
+        progs = {n.program: n.instrument for n in ns.notes if not n.is_drum}
+        assert progs[5] != progs[33]
+        assert all(n.instrument == 9 for n in ns.notes if n.is_drum)
+
+
+@pytest.mark.slow
+def test_musicvae_encode_decode_api():
+    """Architecture API parity: encode -> [3, n, 512], decode -> sequences.
+
+    Uses a tiny config (random weights) — exercises the full converter +
+    model path without a pretrained checkpoint.
+    """
+    from smd_tpu.codec.musicvae import (MusicVAEConfig, TrainedMusicVAE)
+    cfg = MusicVAEConfig(latent_dims=8, enc_units=16, dec_units=(16, 16),
+                         depth=VOCAB_SIZE, max_seq_len=32)
+    model = TrainedMusicVAE(config=cfg)
+
+    ns = _simple_melody(8, dur=0.25, gap=0.25)
+    z, mu, sigma = model.encode([ns, ns])
+    assert z.shape == (2, 8) and mu.shape == (2, 8) and sigma.shape == (2, 8)
+    assert (np.asarray(sigma) > 0).all()
+
+    chunks = model.decode(z, temperature=1.0)
+    assert len(chunks) == 2
+
+    # encode_songs: [3, n_chunks, latent] stacks with zero rows for rests
+    s = song_lib.Song(ns, model.converter, chunk_length=2)
+    enc = song_lib.encode_songs(model, [s])
+    assert len(enc) == 1
+    assert enc[0].shape[0] == 3 and enc[0].shape[2] == 8
+
+    # embeddings_to_song handles zero-norm rest embeddings
+    zs = np.concatenate([z, np.zeros((1, 8))])
+    out = song_lib.embeddings_to_song(zs, model, model.converter)
+    assert out.reconstructed
