@@ -1,0 +1,115 @@
+"""End-to-end dataset-generation pipeline tests (MIDI -> latents -> dataset).
+
+Runs the scripts as subprocesses (absl flags are process-global).
+"""
+import glob
+import os
+import pickle
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, timeout=420):
+    env = dict(os.environ)
+    env["SMD_TPU_PLATFORM"] = "cpu"
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_cache"
+    env["TF_CPP_MIN_LOG_LEVEL"] = "3"
+    proc = subprocess.run([sys.executable] + args, cwd=REPO, env=env,
+                          capture_output=True, text=True, timeout=timeout)
+    if proc.returncode != 0:
+        raise AssertionError(f"script failed ({args}):\n{proc.stdout[-1500:]}"
+                             f"\n{proc.stderr[-4000:]}")
+    return proc
+
+
+@pytest.fixture(scope="module")
+def midi_dir(tmp_path_factory):
+    """Write a handful of synthetic melodic MIDI files."""
+    from smd_tpu.codec import midi_io
+    from smd_tpu.codec.note_sequence import NoteSequence, Tempo, TimeSignature
+    d = tmp_path_factory.mktemp("midi")
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        ns = NoteSequence(tempos=[Tempo(qpm=120)],
+                         time_signatures=[TimeSignature()])
+        t = 0.0
+        for _ in range(48):  # 12s = 6 bars
+            pitch = int(rng.integers(55, 80))
+            ns.add_note(pitch, 80, t, t + 0.2)
+            t += 0.25
+        midi_io.write_midi_file(ns, str(d / f"song_{i}.mid"))
+    return str(d)
+
+
+@pytest.mark.slow
+def test_generate_transform_fit_pipeline(midi_dir, tmp_path):
+    encoded = str(tmp_path / "encoded")
+    # Tiny VAE via default seed — capability test, not quality.
+    _run(["scripts/generate_song_data.py", f"--input={midi_dir}/*.mid",
+          f"--output={encoded}", "--mode=melody", "--eval_fraction=0.25",
+          "--workers=2"])
+    files = glob.glob(f"{encoded}/training_seqs.tfrecord-*")
+    assert files
+
+    import tensorflow as tf
+    recs = list(tf.data.TFRecordDataset(files).as_numpy_iterator())
+    assert recs
+    m = pickle.loads(recs[0])
+    assert m.ndim == 3 and m.shape[0] == 3 and m.shape[2] == 512
+
+    # transform: flatten
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat, exist_ok=True)
+    _run(["scripts/transform_encoded_data.py", f"--encoded_data={encoded}",
+          f"--output_path={flat}", "--mode=flatten"])
+    assert glob.glob(f"{flat}/train-*.tfrecord")
+
+    # transform: sequences with short context
+    seqs = str(tmp_path / "seqs")
+    os.makedirs(seqs, exist_ok=True)
+    _run(["scripts/transform_encoded_data.py", f"--encoded_data={encoded}",
+          f"--output_path={seqs}", "--mode=sequences", "--context_length=2",
+          "--noremove_zeros"])
+    assert glob.glob(f"{seqs}/train-*.tfrecord")
+
+    # fit a slice transform from the encoded data
+    ckpt = str(tmp_path / "ckpt")
+    _run(["scripts/generate_compressed_transform.py",
+          f"--encoded_data={encoded}", f"--output_path={ckpt}",
+          "--transform=slice", "--keep_dims=8", "--name=slice-test"])
+    idx = pickle.load(open(f"{ckpt}/slice-test.pkl", "rb"))
+    assert idx.shape == (8,) and idx.dtype == np.int64
+
+    # the training pipeline can read the flattened data with the slice
+    from smd_tpu.data import pipeline
+    train, _ = pipeline.get_dataset(dataset=flat, data_shape=(512,),
+                                    problem="vae", batch_size=4,
+                                    normalize=True,
+                                    slice_ckpt=f"{ckpt}/slice-test.pkl",
+                                    include_cardinality=False)
+    batch = next(iter(train))
+    assert batch.shape == (4, 8)
+    assert np.isfinite(batch).all()
+
+
+@pytest.mark.slow
+def test_sample_audio_script(tmp_path):
+    """Latent pickles -> MIDI + WAV + plots through the native synth."""
+    from smd_tpu.utils import io as io_lib
+    rng = np.random.default_rng(0)
+    sample_dir = str(tmp_path / "samples")
+    io_lib.save(rng.normal(size=(2, 4, 512)), f"{sample_dir}/generated.pkl")
+    io_lib.save(rng.normal(size=(2, 4, 512)), f"{sample_dir}/real.pkl")
+
+    out = str(tmp_path / "audio")
+    _run(["scripts/sample_audio.py", f"--input={sample_dir}",
+          f"--output={out}", "--n_synth=1", "--sample_rate=8000"])
+    for group in ("generated", "real", "prior"):
+        assert os.path.exists(f"{out}/{group}/000.mid")
+        assert os.path.exists(f"{out}/{group}/000.wav")
+        assert os.path.exists(f"{out}/{group}/000.png")
