@@ -167,6 +167,11 @@ class TrainedMusicVAE:
 
     def __init__(self, params=None, config: MusicVAEConfig = MEL_2BAR_BIG,
                  converter: Optional[MelodyConverter] = None, seed: int = 0):
+        # Accept the {"params", "config"} bundles written by
+        # scripts/train_musicvae.py as well as bare param pytrees.
+        if isinstance(params, dict) and set(params) == {"params", "config"}:
+            config = params["config"]
+            params = params["params"]
         self.config = config
         self.converter = converter or melody_2bar_converter
         self.model = MusicVAE(config)

@@ -1,0 +1,61 @@
+"""Named MusicVAE configurations (reference ``config.py:21-93``).
+
+Registry keys match the reference: ``melody-2-big``, ``melody-16-big``,
+``multi-1-big``, ``multi-0min-1-big``, ``melody-2-big-nopoly``. Each entry
+pairs a data converter with a MusicVAE architecture config.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+from smd_tpu.codec.melody import MelodyConverter
+from smd_tpu.codec.multitrack import (multitrack_default_1bar_converter,
+                                      multitrack_zero_1bar_converter)
+from smd_tpu.codec.musicvae import MusicVAEConfig
+
+__all__ = ["MUSIC_VAE_CONFIG", "melody_2bar_converter",
+           "mel_2bar_nopoly_converter", "melody_16bar_converter"]
+
+melody_2bar_converter = MelodyConverter(steps_per_quarter=4, slice_bars=2)
+# Our monophonic reduction keeps the highest simultaneous note; the nopoly
+# variant in magenta *skips* polyphonic segments instead. Capability-wise both
+# produce monophonic 2-bar tensors.
+mel_2bar_nopoly_converter = MelodyConverter(steps_per_quarter=4, slice_bars=2)
+melody_16bar_converter = MelodyConverter(steps_per_quarter=4, slice_bars=16)
+
+
+@dataclasses.dataclass(frozen=True)
+class VAEConfigEntry:
+    model: MusicVAEConfig
+    data_converter: object
+
+
+MUSIC_VAE_CONFIG = {
+    "melody-2-big": VAEConfigEntry(
+        MusicVAEConfig(latent_dims=512, enc_units=2048,
+                       dec_units=(2048, 2048, 2048), depth=90,
+                       max_seq_len=32),
+        melody_2bar_converter),
+    "melody-16-big": VAEConfigEntry(
+        MusicVAEConfig(latent_dims=512, enc_units=2048,
+                       dec_units=(2048, 2048, 2048), depth=90,
+                       max_seq_len=256),
+        melody_16bar_converter),
+    "multi-1-big": VAEConfigEntry(
+        MusicVAEConfig(latent_dims=512, enc_units=2048,
+                       dec_units=(2048, 2048, 2048),
+                       depth=multitrack_default_1bar_converter.depth,
+                       max_seq_len=16),
+        multitrack_default_1bar_converter),
+    "multi-0min-1-big": VAEConfigEntry(
+        MusicVAEConfig(latent_dims=512, enc_units=2048,
+                       dec_units=(2048, 2048, 2048),
+                       depth=multitrack_zero_1bar_converter.depth,
+                       max_seq_len=16),
+        multitrack_zero_1bar_converter),
+    "melody-2-big-nopoly": VAEConfigEntry(
+        MusicVAEConfig(latent_dims=512, enc_units=2048,
+                       dec_units=(2048, 2048, 2048), depth=90,
+                       max_seq_len=32),
+        mel_2bar_nopoly_converter),
+}

@@ -179,6 +179,15 @@ def mean_squared_error(logits, labels, reduction="mean"):
     return reduce_fn(loss, reduction)
 
 
+def series_loss(context, true_target, pred_target, reduction="mean"):
+    """Self-similarity + MSE loss over a sequence context (ref :33-53)."""
+    ss = context @ true_target.T
+    ss_hat = context @ pred_target.T
+    loss = (mean_squared_error(ss.T, ss_hat.T) +
+            mean_squared_error(true_target, pred_target))
+    return reduce_fn(loss, reduction)
+
+
 def binary_cross_entropy_with_logits(logits, labels):
     return (labels * jax.nn.softplus(-logits) +
             (1 - labels) * jax.nn.softplus(logits))

@@ -42,8 +42,9 @@ def supported(seq_len: int, head_dim: int, dtype) -> bool:
         return False
     if dtype not in (jnp.float32, jnp.bfloat16):
         return False
-    block = _pick_block(seq_len)
-    return seq_len % block == 0
+    # Sequences shorter than one (128-lane) tile can't fill the kernel's
+    # blocks; XLA's fused einsum path is faster there anyway.
+    return seq_len >= 128 and seq_len % _pick_block(seq_len) == 0
 
 
 def _pick_block(seq_len: int) -> int:
