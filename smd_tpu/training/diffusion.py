@@ -68,6 +68,10 @@ class TrainConfig:
     save_ckpt: bool = True
     verbose: bool = True
     resume: bool = True
+    # Aux subsystems (SURVEY.md §5): profiler trace + NaN checking.
+    profile_steps: int = 0      # trace this many steps (0 = off)
+    profile_start_step: int = 10
+    debug_nans: bool = False
 
 
 def create_train_state(rng, model, sample_batch, cond_shape,

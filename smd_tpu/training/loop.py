@@ -19,7 +19,34 @@ from smd_tpu.training.state import EarlyStopping
 from smd_tpu.utils import checkpoints as ckpt_lib
 from smd_tpu.utils import logging as log_lib
 
-__all__ = ["evaluate", "run_loop"]
+__all__ = ["evaluate", "run_loop", "device_prefetch"]
+
+
+def device_prefetch(iterator, mesh=None, size: int = 2):
+    """Keep ``size`` batches in flight on device ahead of compute.
+
+    Host->device copies dispatch asynchronously, so transferring the next
+    batch while the current step runs hides the PCIe/ICI transfer entirely
+    (the reference fed numpy batches synchronously via tfds.as_numpy).
+    """
+    import collections
+
+    import numpy as np
+
+    queue = collections.deque()
+
+    def put(batch):
+        batch = np.asarray(batch)
+        if mesh is not None:
+            return mesh_lib.shard_batch(batch, mesh)
+        return jax.device_put(batch)
+
+    for batch in iterator:
+        queue.append(put(batch))
+        if len(queue) > size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
 
 
 def evaluate(eval_step, params, dataset: Iterable, rng=None):
@@ -53,6 +80,11 @@ def run_loop(state,
     ``eval_step(params, batch[, rng]) -> summed loss``.
     """
     rng = rng if rng is not None else jax.random.PRNGKey(0)
+    if getattr(config, "debug_nans", False):
+        jax.config.update("jax_debug_nans", True)
+    profile_steps = getattr(config, "profile_steps", 0)
+    profile_start = getattr(config, "profile_start_step", 10)
+    profiling = False
     early_stop = EarlyStopping(patience=1)
     manager = train_writer = eval_writer = None
     if model_dir is not None:
@@ -70,10 +102,16 @@ def run_loop(state,
         if stop:
             break
         start_time = time.time()
-        for step, batch in enumerate(train_data()):
-            batch = jnp.asarray(batch)
-            if mesh is not None:
-                batch = mesh_lib.shard_batch(batch, mesh)
+        for step, batch in enumerate(device_prefetch(train_data(), mesh)):
+            if profile_steps > 0 and model_dir is not None:
+                if global_step == profile_start and not profiling:
+                    jax.profiler.start_trace(f"{model_dir}/profile")
+                    profiling = True
+                elif profiling and \
+                        global_step >= profile_start + profile_steps:
+                    jax.block_until_ready(state.params)
+                    jax.profiler.stop_trace()
+                    profiling = False
             if needs_rng:
                 rng, step_rng = jax.random.split(rng)
                 state, metrics = train_step(state, batch, step_rng)
@@ -124,6 +162,8 @@ def run_loop(state,
                 stop = True
                 break
 
+    if profiling:
+        jax.profiler.stop_trace()
     if manager is not None:
         if manager.latest_step != global_step:
             manager.save(global_step, state, force=True)
