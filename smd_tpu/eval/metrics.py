@@ -38,7 +38,7 @@ __all__ = [
 
 
 def _flat(x):
-    x = np.asarray(x)
+    x = np.asarray(x, dtype=np.float64)
     return x.reshape(x.shape[0], -1)
 
 
@@ -102,6 +102,7 @@ def precision_recall_distribution(real, fake, num_clusters=20, num_angles=1001,
     Returns (precision, recall) arrays of length num_angles.
     """
     real, fake = _flat(real), _flat(fake)
+    num_clusters = min(num_clusters, max(2, (len(real) + len(fake)) // 2))
     joint = np.concatenate([real, fake], axis=0)
     precisions, recalls = [], []
     for run in range(num_runs):
@@ -227,6 +228,7 @@ def ndb_score(real, fake, k=50, significance=0.05, seed=0):
     """
     real, fake = _flat(real), _flat(fake)
     n_real, n_fake = len(real), len(fake)
+    k = min(k, max(2, n_real // 2))
     km = KMeans(n_clusters=k, n_init=3, random_state=seed).fit(real)
     real_counts = np.bincount(km.labels_, minlength=k)
     fake_counts = np.bincount(km.predict(fake), minlength=k)

@@ -38,9 +38,9 @@ def toy_tfrecords(tmp_path_factory):
     return str(d)
 
 
-@pytest.mark.slow
-def test_train_and_sample_ncsn_cli(toy_tfrecords, tmp_path):
-    model_dir = str(tmp_path / "ddpm2d")
+@pytest.fixture(scope="module")
+def trained_toy(toy_tfrecords, tmp_path_factory):
+    model_dir = str(tmp_path_factory.mktemp("ddpm2d"))
     common = [
         "--problem=toy", "--data_shape=2", f"--dataset={toy_tfrecords}",
         f"--model_dir={model_dir}", "--architecture=ToyDDPM",
@@ -53,9 +53,13 @@ def test_train_and_sample_ncsn_cli(toy_tfrecords, tmp_path):
         "--logging_freq=1000", "--nosnapshot_sampling", "--noverbose",
     ])
     assert os.path.isdir(os.path.join(model_dir, "ckpt"))
+    return common
 
+
+@pytest.mark.slow
+def test_sample_ncsn_cli_unconditional(trained_toy, tmp_path):
     sampling_dir = str(tmp_path / "samples")
-    _run(["sample_ncsn.py"] + common + [
+    _run(["sample_ncsn.py"] + trained_toy + [
         f"--sampling_dir={sampling_dir}", "--sample_size=32",
         "--sample_seed=1", "--flush", "--nocompute_metrics",
     ])
@@ -65,6 +69,31 @@ def test_train_and_sample_ncsn_cli(toy_tfrecords, tmp_path):
     real = pickle.load(
         open(os.path.join(sampling_dir, "ncsn", "real.pkl"), "rb"))
     assert real.shape == (32, 2)
+
+
+@pytest.mark.slow
+def test_sample_ncsn_cli_infill(trained_toy, tmp_path):
+    sampling_dir = str(tmp_path / "infill")
+    _run(["sample_ncsn.py"] + trained_toy + [
+        f"--sampling_dir={sampling_dir}", "--sample_size=16", "--infill",
+        "--flush", "--nocompute_metrics",
+    ])
+    gen = pickle.load(
+        open(os.path.join(sampling_dir, "ncsn", "generated.pkl"), "rb"))
+    assert gen.shape == (16, 2)
+
+
+@pytest.mark.slow
+def test_sample_ncsn_cli_interpolate_and_metrics(trained_toy, tmp_path):
+    sampling_dir = str(tmp_path / "interp")
+    _run(["sample_ncsn.py"] + trained_toy + [
+        f"--sampling_dir={sampling_dir}", "--sample_size=16",
+        "--interpolate", "--flush", "--compute_metrics",
+        "--compute_final_only",
+    ], timeout=600)
+    gen = pickle.load(
+        open(os.path.join(sampling_dir, "ncsn", "generated.pkl"), "rb"))
+    assert gen.shape[1:] == (16, 2)  # (num_alphas, N, 2)
 
 
 @pytest.mark.slow
