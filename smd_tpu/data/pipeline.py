@@ -115,9 +115,19 @@ def get_dataset(dataset="",
 
     shape = tuple(int(s) for s in data_shape)
     if problem == "mnist":
-        import tensorflow_datasets as tfds
-        train_ds = tfds.load("mnist", split="train", shuffle_files=True)
-        eval_ds = tfds.load("mnist", split="test", shuffle_files=True)
+        # tensorflow_datasets is not in this image; accept a local npz with
+        # x_train/x_test arrays (the keras mnist.npz layout) via $MNIST_NPZ,
+        # matching the reference's tfds.load('mnist') capability offline.
+        npz_path = os.environ.get("MNIST_NPZ", "")
+        if not npz_path or not os.path.exists(npz_path):
+            raise RuntimeError(
+                "MNIST problem requires a local dataset: set MNIST_NPZ to a "
+                "npz file with x_train/x_test arrays")
+        with np.load(npz_path) as d:
+            x_train, x_test = d["x_train"], d["x_test"]
+        train_ds = tf.data.Dataset.from_tensor_slices(
+            {"image": x_train}).shuffle(10000)
+        eval_ds = tf.data.Dataset.from_tensor_slices({"image": x_test})
         key = "image"
     elif problem in ("vae", "toy", "tokens"):
         tokens = problem == "tokens"
