@@ -34,9 +34,15 @@ class MusicVAEConfig:
     max_seq_len: int = 32     # 2 bars at 16 steps/bar
     free_bits: float = 0.0
     beta: float = 0.2
+    # Hierarchical decoding (hierdec-mel_16bar / hier-multiperf analogue):
+    # a conductor RNN expands z into per-segment embeddings, each decoded by
+    # the core decoder. 0 = flat decoding.
+    hier_segments: int = 0
+    conductor_units: int = 1024
 
 
 MEL_2BAR_BIG = MusicVAEConfig()
+MEL_16BAR_HIERDEC = MusicVAEConfig(max_seq_len=256, hier_segments=16)
 
 
 class Encoder(nn.Module):
@@ -97,7 +103,9 @@ class Decoder(nn.Module):
                  length: Optional[int] = None):
         cfg = self.config
         B = z.shape[0]
-        length = length if length is not None else cfg.max_seq_len
+        if length is None:
+            length = targets.shape[1] if targets is not None \
+                else cfg.max_seq_len
         carries = self._init_carries(z)
         token = jnp.zeros((B, cfg.depth), z.dtype)
 
@@ -119,12 +127,41 @@ class Decoder(nn.Module):
         return logits, jnp.stack(samples_seq, axis=1)
 
 
+class Conductor(nn.Module):
+    """Hierarchical conductor: z -> per-segment latent embeddings.
+
+    The Magenta hierdec pattern: a small LSTM rolled out for ``segments``
+    steps from a z-derived initial state; each output is projected to a
+    segment-level embedding that conditions the core decoder.
+    """
+    config: MusicVAEConfig
+
+    @nn.compact
+    def __call__(self, z):
+        cfg = self.config
+        cell = nn.OptimizedLSTMCell(cfg.conductor_units)
+        init = jnp.tanh(nn.Dense(2 * cfg.conductor_units,
+                                 name="z_to_state")(z))
+        carry = (init[:, :cfg.conductor_units],
+                 init[:, cfg.conductor_units:])
+        out_proj = nn.Dense(cfg.latent_dims, name="segment_embedding")
+        embeddings = []
+        token = jnp.zeros((z.shape[0], cfg.latent_dims), z.dtype)
+        for _ in range(cfg.hier_segments):
+            carry, h = cell(carry, token)
+            token = out_proj(h)
+            embeddings.append(token)
+        return jnp.stack(embeddings, axis=1)  # (B, segments, latent)
+
+
 class MusicVAE(nn.Module):
     config: MusicVAEConfig = MEL_2BAR_BIG
 
     def setup(self):
         self.encoder = Encoder(self.config)
         self.decoder = Decoder(self.config)
+        if self.config.hier_segments > 0:
+            self.conductor = Conductor(self.config)
 
     def encode(self, x, rng):
         mu, sigma = self.encoder(x)
@@ -132,13 +169,37 @@ class MusicVAE(nn.Module):
         return z, mu, sigma
 
     def decode(self, z, rng, temperature=1e-3, length=None):
+        cfg = self.config
+        if cfg.hier_segments > 0:
+            seg_len = (length or cfg.max_seq_len) // cfg.hier_segments
+            embeddings = self.conductor(z)
+            logits_all, samples_all = [], []
+            for s in range(cfg.hier_segments):
+                rng, seg_rng = jax.random.split(rng)
+                logits, samples = self.decoder(
+                    embeddings[:, s], rng=seg_rng, temperature=temperature,
+                    length=seg_len)
+                logits_all.append(logits)
+                samples_all.append(samples)
+            return (jnp.concatenate(logits_all, axis=1),
+                    jnp.concatenate(samples_all, axis=1))
         return self.decoder(z, rng=rng, temperature=temperature,
                             length=length)
 
     def __call__(self, x, rng):
         """Training forward: reconstruction logits + posterior params."""
         z, mu, sigma = self.encode(x, rng)
-        logits = self.decoder(z, targets=x)
+        cfg = self.config
+        if cfg.hier_segments > 0:
+            seg_len = x.shape[1] // cfg.hier_segments
+            embeddings = self.conductor(z)
+            logits = jnp.concatenate([
+                self.decoder(embeddings[:, s],
+                             targets=x[:, s * seg_len:(s + 1) * seg_len])
+                for s in range(cfg.hier_segments)
+            ], axis=1)
+        else:
+            logits = self.decoder(z, targets=x)
         return logits, mu, sigma
 
 

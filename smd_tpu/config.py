@@ -36,11 +36,17 @@ MUSIC_VAE_CONFIG = {
                        dec_units=(2048, 2048, 2048), depth=90,
                        max_seq_len=32),
         melody_2bar_converter),
+    # Hierarchical configs (Magenta's hierdec-mel_16bar and
+    # hier-multiperf_vel_1bar_big analogues): a conductor RNN expands z into
+    # per-bar embeddings decoded by the shared core decoder.
     "melody-16-big": VAEConfigEntry(
         MusicVAEConfig(latent_dims=512, enc_units=2048,
                        dec_units=(2048, 2048, 2048), depth=90,
-                       max_seq_len=256),
+                       max_seq_len=256, hier_segments=16),
         melody_16bar_converter),
+    # The multitrack grid converter folds the per-track hierarchy into the
+    # feature dimension (tracks x vocab per step), so the 1-bar models
+    # decode flat 16-step grids.
     "multi-1-big": VAEConfigEntry(
         MusicVAEConfig(latent_dims=512, enc_units=2048,
                        dec_units=(2048, 2048, 2048),

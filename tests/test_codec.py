@@ -157,3 +157,32 @@ def test_musicvae_encode_decode_api():
     zs = np.concatenate([z, np.zeros((1, 8))])
     out = song_lib.embeddings_to_song(zs, model, model.converter)
     assert out.reconstructed
+
+
+@pytest.mark.slow
+def test_hierarchical_musicvae():
+    """hierdec: conductor expands z into per-segment embeddings; decode and
+    teacher-forced training shapes line up for a 4x8=32-step sequence."""
+    import jax
+    import jax.numpy as jnp
+    from smd_tpu.codec.musicvae import MusicVAE, MusicVAEConfig, elbo_loss
+
+    cfg = MusicVAEConfig(latent_dims=8, enc_units=16, dec_units=(16,),
+                         depth=10, max_seq_len=32, hier_segments=4,
+                         conductor_units=12)
+    model = MusicVAE(cfg)
+    rng = jax.random.PRNGKey(0)
+    x = jax.nn.one_hot(
+        jax.random.randint(rng, (2, 32), 0, 10), 10).astype(jnp.float32)
+    params = model.init({"params": rng}, x, rng)
+
+    logits, mu, sigma = model.apply(params, x, rng)
+    assert logits.shape == (2, 32, 10)
+    loss, aux = elbo_loss(logits, x, mu, sigma)
+    assert np.isfinite(float(loss))
+
+    z = jnp.zeros((2, 8))
+    dec_logits, samples = model.apply(params, z, rng, temperature=1.0,
+                                      method=MusicVAE.decode)
+    assert dec_logits.shape == (2, 32, 10)
+    assert samples.shape == (2, 32)
