@@ -47,6 +47,23 @@ def count_measures(ns: NoteSequence) -> float:
     return ns.total_time / seconds_per_bar
 
 
+def generate_shifted_sequences(song, resolution=1):
+    """Shifted, overlapping versions of a Song (ref ``song_utils.py:96-113``).
+
+    Offsets are uniformly spaced over a 2-second window; each shift drops
+    the first ``offset*step`` seconds.
+    """
+    offset = 2.0 / resolution
+    results = []
+    for step in range(resolution):
+        shifted = song.note_sequence.shift(-offset * step)
+        shifted.notes = [n for n in shifted.notes if n.start_time >= 0]
+        shifted.total_time = max(
+            [n.end_time for n in shifted.notes], default=0.0)
+        results.append(Song(shifted, song.data_converter, chunk_length=1))
+    return results
+
+
 def fix_instruments_for_concatenation(note_sequences: List[NoteSequence]):
     """Map programs to stable instrument slots across chunks (ref :117-139)."""
     instruments = {}

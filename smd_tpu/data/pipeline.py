@@ -81,6 +81,26 @@ def _compute_min_max(ds, split, cache_dir, config):
     return ds_min, ds_max
 
 
+def compute_dataset_statistics(ds, split="train", cache_dir="", config=""):
+    """Mean/std over a batched dataset, pickle-cached
+    (reference ``utils/data_utils.py:93-125``)."""
+    mean_p = _cache_path(cache_dir, split, config, "mean")
+    std_p = _cache_path(cache_dir, split, config, "stddev")
+    if os.path.exists(mean_p) and os.path.exists(std_p):
+        return io_lib.load(mean_p), io_lib.load(std_p)
+    count, total, total_sq = 0, 0.0, 0.0
+    for batch in ds.as_numpy_iterator():
+        count += 1
+        total += batch.astype(np.float64)
+        total_sq += batch.astype(np.float64)**2
+    mean = total / max(count, 1)
+    std = np.sqrt(total_sq / max(count, 1) - mean**2)
+    if cache_dir:
+        io_lib.save(mean, mean_p)
+        io_lib.save(std, std_p)
+    return mean, std
+
+
 def _compute_cardinality(ds, split, cache_dir, config):
     path = _cache_path(cache_dir, split, config, "cardinality")
     if os.path.exists(path):

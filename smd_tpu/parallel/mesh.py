@@ -26,8 +26,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
     "MeshConfig", "make_mesh", "batch_sharding", "replicated",
-    "shard_params", "shard_batch",
+    "shard_params", "shard_batch", "initialize_distributed",
 ]
+
+
+def initialize_distributed():
+    """Multi-host bring-up: call once per process before building a mesh.
+
+    On a multi-host TPU slice ``jax.distributed.initialize()`` picks the
+    coordinator from the TPU environment automatically; on a single host it
+    is a no-op. This (plus the mesh) *is* the TPU-native communication
+    backend — XLA emits the ICI/DCN collectives (SURVEY.md §5).
+    """
+    import os
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or \
+            int(os.environ.get("TPU_WORKER_COUNT", "1")) > 1:
+        jax.distributed.initialize()
+    return jax.process_index(), jax.process_count()
 
 
 @dataclasses.dataclass(frozen=True)

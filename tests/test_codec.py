@@ -186,3 +186,11 @@ def test_hierarchical_musicvae():
                                       method=MusicVAE.decode)
     assert dec_logits.shape == (2, 32, 10)
     assert samples.shape == (2, 32)
+
+
+def test_generate_shifted_sequences():
+    ns = _simple_melody(16, dur=0.25, gap=0.25)
+    s = song_lib.Song(ns, melody_2bar_converter)
+    shifted = song_lib.generate_shifted_sequences(s, resolution=2)
+    assert len(shifted) == 2
+    assert shifted[1].note_sequence.total_time < ns.total_time

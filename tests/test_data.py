@@ -111,3 +111,34 @@ def test_take_examples(toy_dataset_dir):
                                     include_cardinality=False)
     arr = train.take_examples(50)
     assert arr.shape == (50, 2)
+
+
+def test_tokens_problem(tmp_path, np_rng):
+    """'tokens' problem: boolean one-hot grids parse via serialized tensors."""
+    data = np.zeros((16, 8, 5), dtype=bool)
+    idx = np_rng.integers(0, 5, size=(16, 8))
+    for i in range(16):
+        data[i, np.arange(8), idx[i]] = True
+    for split in ("train", "eval"):
+        records.write_tfrecord(str(tmp_path / f"{split}-0000.tfrecord"), data,
+                               tokens=True)
+    train, _ = pipeline.get_dataset(dataset=str(tmp_path), data_shape=(8, 5),
+                                    problem="tokens", batch_size=4,
+                                    normalize=False,
+                                    include_cardinality=False)
+    batch = next(iter(train))
+    assert batch.shape == (4, 8, 5)
+    assert batch.dtype == bool
+    assert (batch.sum(-1) == 1).all()
+
+
+def test_compute_dataset_statistics(tmp_path, np_rng):
+    import tensorflow as tf
+    data = np_rng.normal(loc=3.0, size=(64, 4)).astype(np.float32)
+    ds = tf.data.Dataset.from_tensor_slices(data).batch(8)
+    mean, std = pipeline.compute_dataset_statistics(ds, cache_dir=str(tmp_path))
+    np.testing.assert_allclose(mean.mean(), 3.0, atol=0.5)
+    # cached second call
+    mean2, _ = pipeline.compute_dataset_statistics(ds,
+                                                   cache_dir=str(tmp_path))
+    np.testing.assert_allclose(mean, mean2)
