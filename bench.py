@@ -19,18 +19,22 @@ import time
 import jax
 import jax.numpy as jnp
 
-NUM_SAMPLES = 1000
+import os
+
+NUM_SAMPLES = int(os.environ.get("BENCH_NUM_SAMPLES", 1000))
 SEQ_LEN = 32
 CHANNELS = 42
-T = 1000
+T = int(os.environ.get("BENCH_T", 1000))
 BASELINE_SEQS_PER_SEC_PER_CHIP = (1000 / 60.0) / 8.0
 
 
 def main():
     from smd_tpu.diffusion import samplers, schedules
     from smd_tpu.models import get_model
+    from smd_tpu.parallel import mesh as mesh_lib
 
     n_chips = jax.device_count()
+    mesh = mesh_lib.make_mesh() if n_chips > 1 else None
 
     model = get_model("TransformerDDPM", num_layers=6, num_heads=8,
                       num_mlp_layers=2, mlp_dims=2048)
@@ -57,6 +61,11 @@ def main():
     sample_jit = jax.jit(sample)
     init = jax.random.normal(jax.random.PRNGKey(1),
                              (NUM_SAMPLES, SEQ_LEN, CHANNELS), jnp.float32)
+    if mesh is not None:
+        # Shard the batch over the data axis; params replicate. XLA runs the
+        # whole 1000-step scan SPMD with zero per-step communication.
+        init = jax.device_put(init, mesh_lib.batch_sharding(mesh, init.ndim))
+        params = jax.device_put(params, mesh_lib.replicated(mesh))
 
     # compile
     out = sample_jit(jax.random.PRNGKey(2), init)
@@ -69,7 +78,8 @@ def main():
 
     seqs_per_sec_per_chip = NUM_SAMPLES / elapsed / n_chips
     print(json.dumps({
-        "metric": "ddpm_sample_1000x32x42_T1000_seqs_per_sec_per_chip",
+        "metric": f"ddpm_sample_{NUM_SAMPLES}x{SEQ_LEN}x{CHANNELS}_T{T}"
+                  "_seqs_per_sec_per_chip",
         "value": round(seqs_per_sec_per_chip, 3),
         "unit": "seqs/s/chip",
         "vs_baseline": round(
