@@ -20,7 +20,7 @@ from typing import List
 import numpy as np
 
 from smd_tpu.codec.melody import (MelodyConverter, NO_EVENT, VOCAB_SIZE,
-                                  MIN_PITCH, MAX_PITCH)
+                                  MIN_PITCH)
 from smd_tpu.codec.note_sequence import NoteSequence, Tempo, TimeSignature
 from smd_tpu.codec.melody import ConverterOutput
 

@@ -12,7 +12,6 @@ TF stays host-side only (the reference forced TF off GPU at
 """
 from __future__ import annotations
 
-import glob as globlib
 import os
 from functools import reduce
 

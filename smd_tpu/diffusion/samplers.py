@@ -27,7 +27,6 @@ Known reference bugs fixed here (see SURVEY.md §7 ledger):
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Callable, NamedTuple, Optional
 
 import jax

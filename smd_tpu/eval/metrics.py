@@ -21,7 +21,6 @@ reference would have crashed on its own [N, 32, 42] sequence arrays).
 """
 from __future__ import annotations
 
-import io as _io
 import types
 
 import numpy as np

@@ -16,12 +16,10 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-import time
-from typing import Any, Callable, Iterable, Optional
+from typing import Callable, Iterable, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from smd_tpu.diffusion import losses as losses_lib
 from smd_tpu.parallel import mesh as mesh_lib

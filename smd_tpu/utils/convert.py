@@ -18,7 +18,6 @@ from __future__ import annotations
 import re
 from typing import Any, Dict, List, Tuple
 
-import jax
 import numpy as np
 
 __all__ = ["flatten_old_tree", "convert_params", "linen_call_order",

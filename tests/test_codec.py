@@ -2,7 +2,7 @@ import numpy as np
 import pytest
 
 from smd_tpu.codec import midi_io, song as song_lib
-from smd_tpu.codec.melody import (MelodyConverter, extract_melodies,
+from smd_tpu.codec.melody import (extract_melodies,
                                   melody_2bar_converter, VOCAB_SIZE)
 from smd_tpu.codec.note_sequence import (NoteSequence, Tempo, TimeSignature,
                                          trim_note_sequence)

@@ -1,7 +1,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from smd_tpu.models import get_model
 from smd_tpu.sampling import mdn_decode
