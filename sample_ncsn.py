@@ -128,7 +128,8 @@ def main(argv):
             model_fn, sigmas, rng, shape, num_samples=len(real),
             sampling=FLAGS.sampling, epsilon=FLAGS.ld_epsilon,
             steps=FLAGS.ld_steps, denoise=FLAGS.denoise,
-            infill_samples=samples, infill_masks=masks)
+            infill_samples=samples, infill_masks=masks,
+            ddim_steps=FLAGS.ddim_steps, ddim_eta=FLAGS.ddim_eta)
     elif FLAGS.interpolate:
         generated, collection, ld_metrics = generate.interpolate(
             model_fn, sigmas, rng, real)
@@ -137,7 +138,8 @@ def main(argv):
         generated, collection, ld_metrics = generate.sample(
             model_fn, sigmas, rng, shape, num_samples=len(real),
             sampling=FLAGS.sampling, epsilon=FLAGS.ld_epsilon,
-            steps=FLAGS.ld_steps, denoise=FLAGS.denoise)
+            steps=FLAGS.ld_steps, denoise=FLAGS.denoise,
+            ddim_steps=FLAGS.ddim_steps, ddim_eta=FLAGS.ddim_eta)
     logging.info("Generated samples in %f seconds", time.time() - t0)
 
     generated = np.asarray(generated)

@@ -90,8 +90,12 @@ def define_diffusion_flags():
     flags.DEFINE_float("ld_epsilon", 2e-6,
                        "Step size for annealed Langevin dynamics.")
     # Sampling
-    flags.DEFINE_enum("sampling", "ald", ["ald", "cas", "ddpm"],
+    flags.DEFINE_enum("sampling", "ald", ["ald", "cas", "ddpm", "ddim"],
                       "Sampling algorithm to use.")
+    flags.DEFINE_integer("ddim_steps", 50,
+                         "Number of strided steps for DDIM sampling.")
+    flags.DEFINE_float("ddim_eta", 0.0,
+                       "DDIM stochasticity (0 = deterministic ODE).")
     flags.DEFINE_boolean("ema", True, "Exponential moving average smoothing.")
     flags.DEFINE_float("mu", 0.999, "Momentum parameter for EMA.")
     flags.DEFINE_boolean(

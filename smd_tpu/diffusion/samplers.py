@@ -39,6 +39,7 @@ __all__ = [
     "annealed_langevin_dynamics",
     "consistent_langevin_dynamics",
     "diffusion_dynamics",
+    "ddim_dynamics",
     "diffusion_stochastic_encoder",
     "collate_sampling_metrics",
 ]
@@ -297,6 +298,88 @@ def diffusion_dynamics(rng,
     (state, rng, collection), metrics = jax.lax.scan(
         sample_with_beta, (start, rng, collection),
         jnp.arange(T - 1, -1, -1))
+
+    if collect_metrics:
+        metrics = jnp.expand_dims(jnp.stack(metrics), axis=2)
+    else:
+        metrics = None
+    return SamplerOutput(state, collection, metrics)
+
+
+def ddim_dynamics(rng,
+                  model_fn: ModelFn,
+                  betas,
+                  init,
+                  num_steps: int = 50,
+                  eta: float = 0.0,
+                  infill_samples=None,
+                  infill_masks=None,
+                  collect_steps: int = 0,
+                  collect_metrics: bool = False,
+                  constants: Optional[schedules.DDPMConstants] = None
+                  ) -> SamplerOutput:
+    """DDIM sampling over a strided timestep subset (Song et al., 2021).
+
+    A capability the reference lacks: because its models condition on the
+    *continuous* noise level sqrt(alpha-bar) (``losses.py:280-300``), any
+    trained DDPM checkpoint can sample with far fewer steps. eta=0 gives the
+    deterministic DDIM ODE; eta=1 recovers ancestral-like stochasticity.
+    At num_steps=50 this is a ~20x sampling speedup at comparable quality
+    (Improved DDPM / DDIM literature; PAPERS.md).
+    """
+    infill_samples, infill_masks = _resolve_infill(init, infill_samples,
+                                                   infill_masks)
+    c = constants if constants is not None else schedules.ddpm_constants(betas)
+    T = c.num_steps
+    # Strided subset tau_1 < ... < tau_S of [0, T); scan runs descending.
+    taus = jnp.linspace(0, T - 1, num_steps).round().astype(jnp.int32)
+    abar = c.alphas_prod[taus]                       # (S,)
+    abar_prev = jnp.concatenate([jnp.ones((1,), abar.dtype), abar[:-1]])
+
+    start = init * (1 - infill_masks) + infill_samples * infill_masks
+    collection = _init_collection(collect_steps, 0, start)
+    collection_idx = jnp.linspace(1, num_steps,
+                                  max(collect_steps, 1)).astype(jnp.int32)
+
+    def step(carry, i):
+        state, rng, collection = carry
+        rng, noise_rng, infill_rng = jax.random.split(rng, num=3)
+        a = abar[i]
+        a_prev = abar_prev[i]
+
+        cond = jnp.sqrt(a) * jnp.ones(
+            (state.shape[0], *([1] * (state.ndim - 1))), init.dtype)
+        eps = model_fn(state, cond)
+        x0 = (state - jnp.sqrt(1 - a) * eps) / jnp.sqrt(a)
+        x0 = jnp.clip(x0, -1.0, 1.0)
+
+        sigma = (eta * jnp.sqrt((1 - a_prev) / (1 - a)) *
+                 jnp.sqrt(1 - a / a_prev))
+        dir_coeff = jnp.sqrt(jnp.maximum(1 - a_prev - sigma**2, 0.0))
+        noise = (i > 0).astype(init.dtype) * jax.random.normal(
+            noise_rng, state.shape, init.dtype)
+        next_state = jnp.sqrt(a_prev) * x0 + dir_coeff * eps + sigma * noise
+
+        # Infill: forward-diffuse fixed content to the next noise level.
+        infill_noise = jax.random.normal(infill_rng, infill_samples.shape,
+                                         init.dtype)
+        y = (jnp.sqrt(a_prev) * infill_samples +
+             jnp.sqrt(1 - a_prev) * infill_noise)
+        y = jnp.where(i > 0, y, infill_samples)
+        next_state = next_state * (1 - infill_masks) + y * infill_masks
+
+        collection = _maybe_collect(collection, collection_idx,
+                                    num_steps - i, next_state)
+        if collect_metrics:
+            metrics = (_per_example_norm(eps),
+                       _per_example_norm(state - next_state), a,
+                       _per_example_norm(sigma * noise))
+        else:
+            metrics = ()
+        return (next_state, rng, collection), metrics
+
+    (state, rng, collection), metrics = jax.lax.scan(
+        step, (start, rng, collection), jnp.arange(num_steps - 1, -1, -1))
 
     if collect_metrics:
         metrics = jnp.expand_dims(jnp.stack(metrics), axis=2)

@@ -25,13 +25,14 @@ SAMPLERS = {
     "ald": samplers.annealed_langevin_dynamics,
     "cas": samplers.consistent_langevin_dynamics,
     "ddpm": samplers.diffusion_dynamics,
+    "ddim": samplers.ddim_dynamics,
 }
 
 
 def make_init(rng, num_samples, sample_shape, sampling: str):
-    """Initial state: N(0,1) for DDPM, U(-sqrt(12)/2, sqrt(12)/2) otherwise
-    (both mean 0, var 1 — reference ``train_ncsn.py:538-546``)."""
-    if sampling == "ddpm":
+    """Initial state: N(0,1) for DDPM/DDIM, U(-sqrt(12)/2, sqrt(12)/2)
+    otherwise (both mean 0, var 1 — reference ``train_ncsn.py:538-546``)."""
+    if sampling in ("ddpm", "ddim"):
         return jax.random.normal(rng, (num_samples, *sample_shape))
     rho = float(np.sqrt(12) / 2)
     return jax.random.uniform(rng, (num_samples, *sample_shape), minval=-rho,
@@ -50,7 +51,9 @@ def sample(model_fn,
            infill_samples=None,
            infill_masks=None,
            collect_steps: Optional[int] = None,
-           collect_metrics: bool = True):
+           collect_metrics: bool = True,
+           ddim_steps: int = 50,
+           ddim_eta: float = 0.0):
     """Generate samples with the chosen dynamics.
 
     Returns (generated, collection, ld_metrics) matching the reference's
@@ -73,6 +76,15 @@ def sample(model_fn,
                                           infill_masks=infill_masks,
                                           collect_steps=collect_steps,
                                           collect_metrics=collect_metrics)
+    elif sampling == "ddim":
+        if collect_steps is None:
+            collect_steps = 40
+        out = samplers.ddim_dynamics(ld_rng, model_fn, sigmas, init,
+                                     num_steps=ddim_steps, eta=ddim_eta,
+                                     infill_samples=infill_samples,
+                                     infill_masks=infill_masks,
+                                     collect_steps=collect_steps,
+                                     collect_metrics=collect_metrics)
     else:
         if collect_steps is None:
             collect_steps = 100

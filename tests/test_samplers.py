@@ -133,3 +133,70 @@ def test_collate_sampling_metrics_shape(rng):
     assert len(collated) == 3
     assert len(collated[0]) == 7
     assert set(collated[0][0]) == {"slope", "step", "alpha", "noise"}
+
+
+def test_ddim_oracle_contracts_to_zero(rng):
+    """DDIM with the point-mass oracle converges to 0 in only 50 steps."""
+    betas = schedules.noise_schedule(1e-6, 0.01, 1000, "linear")
+    init = jax.random.normal(jax.random.PRNGKey(4), (256, 8))
+    out = samplers.ddim_dynamics(rng, _zero_data_eps, betas, init,
+                                 num_steps=50)
+    x = np.asarray(out.state)
+    assert np.abs(x).mean() < 0.05
+    assert out.collection is None and out.metrics is None
+
+
+def test_ddim_deterministic_at_eta_zero(rng):
+    """eta=0: the only randomness is the init; same init -> same output
+    regardless of key."""
+    betas = schedules.noise_schedule(1e-6, 0.01, 200, "linear")
+    init = jax.random.normal(jax.random.PRNGKey(1), (16, 4))
+    o1 = samplers.ddim_dynamics(jax.random.PRNGKey(7), _zero_data_eps, betas,
+                                init, num_steps=20, eta=0.0)
+    o2 = samplers.ddim_dynamics(jax.random.PRNGKey(8), _zero_data_eps, betas,
+                                init, num_steps=20, eta=0.0)
+    np.testing.assert_allclose(np.asarray(o1.state), np.asarray(o2.state),
+                               atol=1e-6)
+
+
+def test_ddim_eta_one_adds_stochasticity(rng):
+    betas = schedules.noise_schedule(1e-6, 0.01, 200, "linear")
+    init = jax.random.normal(jax.random.PRNGKey(1), (16, 4))
+    o1 = samplers.ddim_dynamics(jax.random.PRNGKey(7), _zero_data_eps, betas,
+                                init, num_steps=20, eta=1.0)
+    o2 = samplers.ddim_dynamics(jax.random.PRNGKey(8), _zero_data_eps, betas,
+                                init, num_steps=20, eta=1.0)
+    assert not np.allclose(np.asarray(o1.state), np.asarray(o2.state))
+
+
+def test_ddim_matches_gaussian_statistics(rng):
+    """Gaussian-data oracle (x0 ~ N(0, 0.3^2), inside the [-1,1] clip range):
+    E[eps|x_t] = sqrt(1-abar)/Var(x_t) * x_t. DDIM at eta=0 should produce
+    samples with matching statistics."""
+    betas = schedules.noise_schedule(1e-6, 0.01, 1000, "linear")
+    s2 = 0.3**2
+
+    def gauss_eps(x, cond):
+        abar = cond**2
+        var = s2 * abar + (1 - abar)
+        return jnp.sqrt(1 - abar) / var * x
+
+    init = jax.random.normal(jax.random.PRNGKey(5), (4096, 2))
+    out = samplers.ddim_dynamics(rng, gauss_eps, betas, init, num_steps=100,
+                                 eta=0.0)
+    x = np.asarray(out.state)
+    assert abs(x.mean()) < 0.03
+    assert abs(x.std() - 0.3) < 0.05
+
+
+def test_ddim_infill(rng):
+    betas = schedules.noise_schedule(1e-6, 0.01, 500, "linear")
+    init = jax.random.normal(jax.random.PRNGKey(2), (8, 16, 4))
+    target = jnp.full((8, 16, 4), 0.3)
+    masks = jnp.zeros((8, 16, 4)).at[:, :4].set(1.0)
+    out = samplers.ddim_dynamics(rng, _zero_data_eps, betas, init,
+                                 num_steps=50, infill_samples=target,
+                                 infill_masks=masks)
+    x = np.asarray(out.state)
+    np.testing.assert_allclose(x[:, :4], 0.3, atol=1e-6)
+    assert np.abs(x[:, 4:]).mean() < 0.05

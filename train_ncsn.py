@@ -42,7 +42,8 @@ def snapshot_sampling_callback(model, sigmas, train_ds, eval_ds, writer,
             model_fn, sigmas, rng, input_shape,
             num_samples=FLAGS.eval_samples, sampling=FLAGS.sampling,
             epsilon=FLAGS.ld_epsilon, steps=FLAGS.ld_steps,
-            denoise=FLAGS.denoise)
+            denoise=FLAGS.denoise, ddim_steps=FLAGS.ddim_steps,
+            ddim_eta=FLAGS.ddim_eta)
 
         init = np.asarray(collection[0])
         generated = np.asarray(generated)
