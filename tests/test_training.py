@@ -78,6 +78,14 @@ def test_toy_ddpm_end_to_end(tmp_path):
     frac_pos = (gen[:, 0] > 0).mean()
     assert 0.6 < frac_pos < 0.95
 
+    # DDIM with 20x fewer steps stays within quality range on the same model.
+    out_ddim = samplers.ddim_dynamics(jax.random.PRNGKey(8), model_fn, betas,
+                                      init, num_steps=25)
+    gen_ddim = np.asarray(out_ddim.state)
+    gen_ddim = (gen_ddim + 1) / 2 * (hi - lo) + lo
+    fd_ddim = metrics.frechet_distance(real, gen_ddim)
+    assert fd_ddim < 8.0, f"DDIM FD too high: {fd_ddim}"
+
 
 def test_checkpoint_resume(tmp_path):
     """fit() resumes from the latest checkpoint (reference could not)."""
