@@ -167,6 +167,9 @@ def main(argv):
         io_lib.save(generated_t, os.path.join(log_dir, "ncsn/generated.pkl"))
 
     if FLAGS.compute_metrics:
+        if ld_metrics is not None and not FLAGS.interpolate:
+            from smd_tpu.utils.logging import log_sampling_metrics
+            log_sampling_metrics(ld_metrics, 0, log_dir)
         stats = evaluate(writer, real, collection, None, real)
         log_metrics(stats, 1, 1)
 

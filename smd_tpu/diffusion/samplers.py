@@ -109,6 +109,7 @@ def annealed_langevin_dynamics(rng,
     infill_samples, infill_masks = _resolve_infill(init, infill_samples,
                                                    infill_masks)
     num_sigmas = sigmas.shape[0]
+    collect_steps = min(collect_steps, num_sigmas * T)
     start = init * (1 - infill_masks) + infill_samples * infill_masks
     collection = _init_collection(collect_steps, int(denoise), start)
     collection_idx = jnp.linspace(1, num_sigmas * T,
@@ -179,6 +180,7 @@ def consistent_langevin_dynamics(rng,
     infill_samples, infill_masks = _resolve_infill(init, infill_samples,
                                                    infill_masks)
     num_sigmas = sigmas.shape[0]
+    collect_steps = min(collect_steps, num_sigmas)
     start = init * (1 - infill_masks) + infill_samples * infill_masks
     collection = _init_collection(collect_steps, int(denoise), start)
     collection_idx = jnp.linspace(1, num_sigmas,
@@ -249,6 +251,7 @@ def diffusion_dynamics(rng,
                                                    infill_masks)
     c = constants if constants is not None else schedules.ddpm_constants(betas)
     T = c.num_steps
+    collect_steps = min(collect_steps, T)
 
     start = init * (1 - infill_masks) + infill_samples * infill_masks
     collection = _init_collection(collect_steps, 0, start)
@@ -336,6 +339,7 @@ def ddim_dynamics(rng,
     abar = c.alphas_prod[taus]                       # (S,)
     abar_prev = jnp.concatenate([jnp.ones((1,), abar.dtype), abar[:-1]])
 
+    collect_steps = min(collect_steps, num_steps)
     start = init * (1 - infill_masks) + infill_samples * infill_masks
     collection = _init_collection(collect_steps, 0, start)
     collection_idx = jnp.linspace(1, num_steps,

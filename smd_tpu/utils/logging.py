@@ -60,6 +60,25 @@ def log_metrics(metrics, step, total_steps, epoch=None, summary_writer=None,
                      metrics_str)
 
 
+def log_sampling_metrics(ld_metrics, step, output_dir, verbose=False):
+    """Per-noise-level sampling statistics to their own TB dir.
+
+    Parity with the reference's ``log_langevin_dynamics``
+    (``train_ncsn.py:166-184``): each sigma level gets slope/step/alpha/noise
+    scalars under ``sampling_epoch{step}``.
+    """
+    from smd_tpu.diffusion.samplers import collate_sampling_metrics
+    collated = collate_sampling_metrics(ld_metrics)
+    if not collated:
+        return
+    writer = SummaryWriter(f"{output_dir}/sampling_epoch{step}")
+    for i, sigma_metrics in enumerate(collated):
+        for j, metric in enumerate(sigma_metrics):
+            log_metrics(metric, j, len(sigma_metrics), epoch=i,
+                        summary_writer=writer, verbose=verbose)
+    writer.flush()
+
+
 def report_params(params):
     """Log parameter count and memory footprint."""
     import jax

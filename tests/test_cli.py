@@ -124,3 +124,20 @@ def test_train_and_sample_mdn_cli(tmp_path, tmp_path_factory):
     gen = pickle.load(
         open(os.path.join(sampling_dir, "mdn", "generated.pkl"), "rb"))
     assert gen.shape == (16, 8, 2)
+
+
+@pytest.mark.slow
+def test_train_ncsn_cli_with_snapshot_sampling(toy_tfrecords, tmp_path):
+    """Exercise the in-training sampling callback (scatter + score field +
+    sampling-metrics logging) on the toy problem with fast DDIM sampling."""
+    model_dir = str(tmp_path / "snap2d")
+    _run(["train_ncsn.py",
+          "--problem=toy", "--data_shape=2", f"--dataset={toy_tfrecords}",
+          f"--model_dir={model_dir}", "--architecture=ToyDDPM",
+          "--loss=ddpm", "--sampling=ddim", "--ddim_steps=5",
+          "--schedule_type=linear", "--sigma_begin=1e-6", "--sigma_end=0.01",
+          "--num_sigmas=20", "--batch_size=64", "--normalize",
+          "--epochs=1", "--max_steps=2", "--snapshot_freq=2",
+          "--logging_freq=100", "--snapshot_sampling", "--eval_samples=64",
+          "--noverbose"], timeout=600)
+    assert os.path.isdir(os.path.join(model_dir, "eval"))

@@ -38,12 +38,15 @@ def snapshot_sampling_callback(model, sigmas, train_ds, eval_ds, writer,
         input_shape = tuple(int(s) for s in FLAGS.data_shape)
         if FLAGS.slice_ckpt:
             input_shape = (*input_shape[:-1], len(slice_idx))
-        generated, collection, _ = generate.sample(
+        generated, collection, ld_metrics = generate.sample(
             model_fn, sigmas, rng, input_shape,
             num_samples=FLAGS.eval_samples, sampling=FLAGS.sampling,
             epsilon=FLAGS.ld_epsilon, steps=FLAGS.ld_steps,
             denoise=FLAGS.denoise, ddim_steps=FLAGS.ddim_steps,
             ddim_eta=FLAGS.ddim_eta)
+        if ld_metrics is not None:
+            from smd_tpu.utils.logging import log_sampling_metrics
+            log_sampling_metrics(ld_metrics, sampling_step, output_dir)
 
         init = np.asarray(collection[0])
         generated = np.asarray(generated)
