@@ -28,6 +28,9 @@ flags.DEFINE_boolean("include_wav", True, "Render WAV audio.")
 flags.DEFINE_boolean("include_plots", True, "Render piano-roll plots.")
 flags.DEFINE_boolean("gen_interpolations", False,
                      "Build spherical-interpolation baseline.")
+flags.DEFINE_boolean("include_collection", False,
+                     "Also render intermediate sampling steps "
+                     "(collection.pkl).")
 flags.DEFINE_boolean("infill", False, "Re-insert real fixed bars (infill).")
 flags.DEFINE_integer("sample_rate", 44100, "WAV sample rate.")
 flags.DEFINE_string("vae_params", "", "Optional pickled MusicVAE params.")
@@ -74,9 +77,22 @@ def main(argv):
     for name in ("real", "generated"):
         path = os.path.join(base, f"{name}.pkl")
         if os.path.exists(path):
-            groups[name] = np.asarray(io_lib.load(path))[:FLAGS.n_synth]
+            latents = np.asarray(io_lib.load(path))
+            if latents.ndim == 2:   # 1seq problems: one latent per sample
+                latents = latents[:, None, :]
+            groups[name] = latents[:FLAGS.n_synth]
     if "real" not in groups and "generated" not in groups:
         raise FileNotFoundError(f"No real.pkl/generated.pkl under {base}")
+
+    # Intermediate sampling steps (collection.pkl), a few evenly spaced.
+    coll_path = os.path.join(base, "collection.pkl")
+    if FLAGS.include_collection and os.path.exists(coll_path):
+        coll = np.asarray(io_lib.load(coll_path))
+        for step_idx in np.linspace(0, len(coll) - 1, 4).astype(int):
+            latents = coll[step_idx]
+            if latents.ndim == 2:
+                latents = latents[:, None, :]
+            groups[f"collection_{step_idx:03d}"] = latents[:FLAGS.n_synth]
 
     # Baselines (reference sample_audio.py:158-180).
     ref = groups.get("generated", groups.get("real"))
