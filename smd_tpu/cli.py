@@ -65,9 +65,14 @@ def define_common_flags():
     flags.DEFINE_string("model_dir", "./save/ncsn",
                         "Directory to store model data.")
     flags.DEFINE_boolean("verbose", True, "Toggle logging to stdout.")
-    # Parallelism (new: the reference was single-device)
+    # Parallelism / scale (new: the reference was single-device)
     flags.DEFINE_integer("model_parallelism", 1,
                          "Size of the tensor-parallel mesh axis.")
+    flags.DEFINE_boolean("mixed_precision", False,
+                         "bfloat16 compute with fp32 params.")
+    flags.DEFINE_boolean("remat", False,
+                         "Rematerialize transformer layers in the backward "
+                         "pass (activation checkpointing).")
 
 
 def define_diffusion_flags():
@@ -146,9 +151,12 @@ def train_config_from_flags(mdn: bool = False) -> TrainConfig:
 
 
 def model_from_flags(mdn: bool = False):
+    import jax.numpy as jnp
     kwargs = dict(num_layers=FLAGS.num_layers, num_heads=FLAGS.num_heads,
                   num_mlp_layers=FLAGS.num_mlp_layers,
-                  mlp_dims=FLAGS.mlp_dims)
+                  mlp_dims=FLAGS.mlp_dims, remat=FLAGS.remat)
+    if FLAGS.mixed_precision:
+        kwargs["dtype"] = jnp.bfloat16
     if mdn:
         kwargs["mdn_mixtures"] = FLAGS.mdn_components
     return get_model(FLAGS.architecture, **kwargs)

@@ -31,6 +31,8 @@ class TransformerMDN(nn.Module):
     mlp_dims: int = 2048
     mdn_mixtures: int = 100
     embed_channels: int = 128
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, inputs, shift: bool = True):
@@ -41,12 +43,15 @@ class TransformerMDN(nn.Module):
                                num_heads=self.num_heads,
                                mlp_dims=self.mlp_dims,
                                embed_channels=self.embed_channels,
-                               causal=True)(x)
+                               causal=True, dtype=self.dtype,
+                               remat=self.remat)(x)
 
-        x = nn.LayerNorm()(x)
-        x = nn.Dense(self.mlp_dims)(x)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = nn.Dense(self.mlp_dims, dtype=self.dtype)(x)
         for _ in range(self.num_mlp_layers):
-            x = DenseResBlock(self.mlp_dims)(x)
-        x = nn.LayerNorm()(x)
+            x = DenseResBlock(self.mlp_dims, dtype=self.dtype)(x)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
+        # fp32 head: mixture NLL is numerically fragile in bf16
         return MDN(out_channels=data_channels,
-                   num_components=self.mdn_mixtures, name="mdn")(x)
+                   num_components=self.mdn_mixtures, name="mdn")(x.astype(
+                       jnp.float32))

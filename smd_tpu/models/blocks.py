@@ -61,17 +61,19 @@ class DenseFiLM(nn.Module):
     embedding_channels: int
     out_channels: int
     sequence: bool = False
+    dtype: "jnp.dtype" = jnp.float32
 
     @nn.compact
     def __call__(self, position):
         pos = noise_encoding(position, self.embedding_channels)
-        pos = nn.Dense(self.embedding_channels * 4)(pos)
+        pos = pos.astype(self.dtype)
+        pos = nn.Dense(self.embedding_channels * 4, dtype=self.dtype)(pos)
         pos = nn.swish(pos)
-        pos = nn.Dense(self.embedding_channels * 4)(pos)
+        pos = nn.Dense(self.embedding_channels * 4, dtype=self.dtype)(pos)
         if self.sequence:
             pos = pos[:, None, :]
-        scale = nn.Dense(self.out_channels)(pos)
-        shift = nn.Dense(self.out_channels)(pos)
+        scale = nn.Dense(self.out_channels, dtype=self.dtype)(pos)
+        shift = nn.Dense(self.out_channels, dtype=self.dtype)(pos)
         return scale, shift
 
 
@@ -87,21 +89,22 @@ class DenseResBlock(nn.Module):
     conditions both affines, matching reference ``models/shared.py:58-75``.
     """
     output_size: int
+    dtype: "jnp.dtype" = jnp.float32
 
     @nn.compact
     def __call__(self, inputs, scale=1.0, shift=0.0):
-        x = nn.LayerNorm()(inputs)
+        x = nn.LayerNorm(dtype=self.dtype)(inputs)
         x = featurewise_affine(x, scale, shift)
         x = nn.swish(x)
-        x = nn.Dense(self.output_size)(x)
-        x = nn.LayerNorm()(x)
+        x = nn.Dense(self.output_size, dtype=self.dtype)(x)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
         x = featurewise_affine(x, scale, shift)
         x = nn.swish(x)
-        x = nn.Dense(self.output_size)(x)
+        x = nn.Dense(self.output_size, dtype=self.dtype)(x)
 
         shortcut = inputs
         if inputs.shape[-1] != self.output_size:
-            shortcut = nn.Dense(self.output_size)(inputs)
+            shortcut = nn.Dense(self.output_size, dtype=self.dtype)(inputs)
         return x + shortcut
 
 

@@ -38,33 +38,61 @@ class TransformerEncoder(nn.Module):
     embed via Dense(embed_channels) + fixed sinusoidal positions, then
     num_layers x [preLN self-attention residual; preLN MLP(mlp_dims, gelu)
     residual] — reference ``models/ncsn.py:148-168``.
+
+    ``dtype`` sets the computation dtype (params stay fp32 — standard mixed
+    precision); ``remat`` checkpoints each layer so activations are
+    rematerialized in the backward pass (HBM for FLOPs, the standard
+    large-model memory trade).
     """
     num_layers: int = 6
     num_heads: int = 8
     mlp_dims: int = 2048
     embed_channels: int = 128
     causal: bool = False
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
         _, seq_len, _ = x.shape
-        temb = positional_encoding(seq_len, self.embed_channels)[None]
-        x = nn.Dense(self.embed_channels)(x)
-        x = x + temb
+        x = x.astype(self.dtype)
+        temb = positional_encoding(seq_len,
+                                   self.embed_channels).astype(self.dtype)
+        x = nn.Dense(self.embed_channels, dtype=self.dtype)(x)
+        x = x + temb[None]
+
+        block_cls = TransformerLayer
+        if self.remat:
+            block_cls = nn.remat(TransformerLayer)
         for _ in range(self.num_layers):
-            shortcut = x
-            h = nn.LayerNorm()(x)
-            h = MultiHeadSelfAttention(features=self.embed_channels,
-                                       num_heads=self.num_heads,
-                                       causal=self.causal)(h)
-            x = h + shortcut
-            shortcut2 = x
-            h = nn.LayerNorm()(x)
-            h = nn.Dense(self.mlp_dims)(h)
-            h = nn.gelu(h)
-            h = nn.Dense(self.embed_channels)(h)
-            x = h + shortcut2
+            x = block_cls(num_heads=self.num_heads, mlp_dims=self.mlp_dims,
+                          embed_channels=self.embed_channels,
+                          causal=self.causal, dtype=self.dtype)(x)
         return x
+
+
+class TransformerLayer(nn.Module):
+    """One pre-LN attention + MLP block (remat unit)."""
+    num_heads: int
+    mlp_dims: int
+    embed_channels: int
+    causal: bool
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        shortcut = x
+        h = nn.LayerNorm(dtype=self.dtype)(x)
+        h = MultiHeadSelfAttention(features=self.embed_channels,
+                                   num_heads=self.num_heads,
+                                   causal=self.causal)(h)
+        x = h + shortcut
+        shortcut2 = x
+        h = nn.LayerNorm(dtype=self.dtype)(x)
+        h = nn.Dense(self.mlp_dims, dtype=self.dtype)(h)
+        h = nn.gelu(h)
+        h = nn.Dense(self.embed_channels, dtype=self.dtype)(h)
+        return h + shortcut2
 
 
 class TransformerDDPM(nn.Module):
@@ -78,6 +106,8 @@ class TransformerDDPM(nn.Module):
     num_mlp_layers: int = 2
     mlp_dims: int = 2048
     embed_channels: int = 128
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, inputs, t):
@@ -88,18 +118,21 @@ class TransformerDDPM(nn.Module):
                                num_heads=self.num_heads,
                                mlp_dims=self.mlp_dims,
                                embed_channels=self.embed_channels,
-                               causal=False)(inputs)
+                               causal=False, dtype=self.dtype,
+                               remat=self.remat)(inputs)
 
-        x = nn.LayerNorm()(x)
-        x = nn.Dense(self.mlp_dims)(x)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = nn.Dense(self.mlp_dims, dtype=self.dtype)(x)
         for _ in range(self.num_mlp_layers):
             scale, shift = DenseFiLM(embedding_channels=128,
                                      out_channels=self.mlp_dims,
-                                     sequence=True)(t)
-            x = DenseResBlock(self.mlp_dims)(x, scale, shift)
+                                     sequence=True, dtype=self.dtype)(t)
+            x = DenseResBlock(self.mlp_dims, dtype=self.dtype)(x, scale,
+                                                               shift)
 
-        x = nn.LayerNorm()(x)
-        return nn.Dense(data_channels)(x)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
+        # fp32 output head for a stable objective
+        return nn.Dense(data_channels, dtype=jnp.float32)(x)
 
 
 class TransformerDDPM4(TransformerDDPM):

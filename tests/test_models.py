@@ -128,3 +128,28 @@ def test_registry_drops_extra_kwargs(rng):
     x = jnp.ones((2, 4))
     params = model.init(rng, x, jnp.ones((2, 1)))
     assert model.apply(params, x, jnp.ones((2, 1))).shape == x.shape
+
+
+def test_mixed_precision_and_remat(rng):
+    """bf16 compute with fp32 params; remat wraps layers without changing
+    outputs' finiteness; param dtypes stay fp32."""
+    model = get_model("TransformerDDPM", num_layers=2, num_heads=4,
+                      num_mlp_layers=1, mlp_dims=64, dtype=jnp.bfloat16,
+                      remat=True)
+    x = jnp.ones((2, 8, 6))
+    t = jnp.full((2, 1, 1), 0.5)
+    params = model.init(rng, x, t)
+    for leaf in jax.tree_util.tree_leaves(params):
+        assert leaf.dtype == jnp.float32
+    out = model.apply(params, x, t)
+    assert out.dtype == jnp.float32  # fp32 output head
+    assert np.isfinite(np.asarray(out)).all()
+
+    # gradients flow through the remat blocks
+    def loss(p):
+        return jnp.sum(model.apply(p, x, t) ** 2)
+
+    grads = jax.grad(loss)(params)
+    gnorm = sum(float(jnp.sum(jnp.abs(g)))
+                for g in jax.tree_util.tree_leaves(grads))
+    assert gnorm > 0
