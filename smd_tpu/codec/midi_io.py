@@ -52,6 +52,7 @@ def midi_to_note_sequence(data: bytes) -> NoteSequence:
     tempo_events: List[Tuple[int, float]] = []   # (tick, us_per_quarter)
     note_events = []  # (tick, kind, channel, pitch, velocity, program)
     time_sigs: List[Tuple[int, int, int]] = []
+    final_tick = 0  # last tick of any event (incl. end-of-track metas)
 
     for _ in range(ntracks):
         if data[pos:pos + 4] != b"MTrk":
@@ -109,6 +110,7 @@ def midi_to_note_sequence(data: bytes) -> NoteSequence:
                 p += length
             else:
                 raise ValueError(f"Unhandled MIDI status 0x{status:02x}")
+        final_tick = max(final_tick, tick)
 
     # Build tick -> seconds map from the tempo events.
     tempo_events.sort()
@@ -146,12 +148,11 @@ def midi_to_note_sequence(data: bytes) -> NoteSequence:
                             tick_to_seconds(tick), program=program,
                             instrument=channel,
                             is_drum=channel == _DRUM_CHANNEL)
-    # Close dangling notes at EOF.
-    max_tick = max((e[0] for e in note_events), default=0)
+    # Close dangling notes at the end of the file.
     for (channel, pitch), starts in active.items():
         for start_tick, vel, program in starts:
             ns.add_note(pitch, vel, tick_to_seconds(start_tick),
-                        tick_to_seconds(max_tick), program=program,
+                        tick_to_seconds(final_tick), program=program,
                         instrument=channel, is_drum=channel == _DRUM_CHANNEL)
     ns.notes.sort(key=lambda n: (n.start_time, n.pitch))
     return ns

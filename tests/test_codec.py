@@ -194,3 +194,45 @@ def test_generate_shifted_sequences():
     shifted = song_lib.generate_shifted_sequences(s, resolution=2)
     assert len(shifted) == 2
     assert shifted[1].note_sequence.total_time < ns.total_time
+
+
+def test_midi_parser_rejects_garbage():
+    with pytest.raises(ValueError):
+        midi_io.midi_to_note_sequence(b"not a midi file at all")
+
+
+def test_midi_parser_handles_truncated():
+    ns = _simple_melody()
+    data = midi_io.note_sequence_to_midi(ns)
+    with pytest.raises(Exception):
+        midi_io.midi_to_note_sequence(data[:20])
+
+
+def test_midi_parser_dangling_note_on():
+    """A note-on with no note-off closes at end of track."""
+    import struct
+    # minimal format-0 file: tempo + one dangling note-on + EOT at tick 480
+    track = (b"\x00\xff\x51\x03\x07\xa1\x20"   # tempo 120
+             b"\x00\x90\x3c\x50"               # note on C4
+             b"\x83\x60\xff\x2f\x00")          # delta 480, end of track
+    data = (b"MThd" + struct.pack(">IHHH", 6, 0, 1, 480) +
+            b"MTrk" + struct.pack(">I", len(track)) + track)
+    ns = midi_io.midi_to_note_sequence(data)
+    assert len(ns.notes) == 1
+    assert ns.notes[0].pitch == 0x3c
+    assert ns.notes[0].end_time > ns.notes[0].start_time
+
+
+def test_midi_running_status():
+    """Consecutive events without repeated status bytes parse correctly."""
+    import struct
+    track = (b"\x00\xff\x51\x03\x07\xa1\x20"
+             b"\x00\x90\x3c\x50"      # note on C4
+             b"\x60\x3c\x00"          # running status: note off (vel 0)
+             b"\x00\x3e\x50"          # running status: note on D4
+             b"\x60\x3e\x00"          # running status: note off
+             b"\x00\xff\x2f\x00")
+    data = (b"MThd" + struct.pack(">IHHH", 6, 0, 1, 480) +
+            b"MTrk" + struct.pack(">I", len(track)) + track)
+    ns = midi_io.midi_to_note_sequence(data)
+    assert sorted(n.pitch for n in ns.notes) == [0x3c, 0x3e]

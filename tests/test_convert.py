@@ -148,3 +148,29 @@ def test_converted_params_run():
     out_b = model.apply(converted, x, t)
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
                                atol=1e-6)
+
+
+def test_find_param_tree_prefers_ema():
+    """The converter CLI locates the EMA params inside the restored tuple."""
+    import importlib.util, os, sys
+    spec = importlib.util.spec_from_file_location(
+        "convert_cli", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts",
+            "convert_reference_checkpoint.py"))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["convert_cli"] = spec.loader.load_module("convert_cli")
+    mod = sys.modules["convert_cli"]
+
+    restored = {
+        "0": {"target": {"params": {"Dense_0": {"kernel": np.ones((2, 2))}}},
+              "state": {}},
+        "1": {"mu": 0.999,
+              "params": {"Dense_0": {"kernel": np.full((2, 2), 7.0)}}},
+        "2": {"best_metric": 1.0},
+    }
+    from absl import flags
+    if not hasattr(flags.FLAGS, "use_ema"):
+        pass
+    flags.FLAGS(["x"])  # ensure parsed
+    tree = mod._find_param_tree(restored)
+    np.testing.assert_allclose(tree["Dense_0"]["kernel"], 7.0)
