@@ -169,8 +169,6 @@ def test_find_param_tree_prefers_ema():
         "2": {"best_metric": 1.0},
     }
     from absl import flags
-    if not hasattr(flags.FLAGS, "use_ema"):
-        pass
-    flags.FLAGS(["x"])  # ensure parsed
+    flags.FLAGS.mark_as_parsed()
     tree = mod._find_param_tree(restored)
     np.testing.assert_allclose(tree["Dense_0"]["kernel"], 7.0)
