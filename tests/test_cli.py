@@ -139,5 +139,5 @@ def test_train_ncsn_cli_with_snapshot_sampling(toy_tfrecords, tmp_path):
           "--num_sigmas=20", "--batch_size=64", "--normalize",
           "--epochs=1", "--max_steps=2", "--snapshot_freq=2",
           "--logging_freq=100", "--snapshot_sampling", "--eval_samples=64",
-          "--noverbose"], timeout=600)
+          "--noverbose"], timeout=900)
     assert os.path.isdir(os.path.join(model_dir, "eval"))
