@@ -15,6 +15,7 @@ kwarg set used by the flag-driven CLIs and ignore what they don't need.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from smd_tpu.models.attention import MultiHeadSelfAttention
@@ -51,6 +52,7 @@ class TransformerEncoder(nn.Module):
     causal: bool = False
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -61,9 +63,10 @@ class TransformerEncoder(nn.Module):
         x = nn.Dense(self.embed_channels, dtype=self.dtype)(x)
         x = x + temb[None]
 
-        block_cls = TransformerLayer
+        block_cls = FusedTransformerLayer if self.fused_attention \
+            else TransformerLayer
         if self.remat:
-            block_cls = nn.remat(TransformerLayer)
+            block_cls = nn.remat(block_cls)
         for _ in range(self.num_layers):
             x = block_cls(num_heads=self.num_heads, mlp_dims=self.mlp_dims,
                           embed_channels=self.embed_channels,
@@ -95,6 +98,51 @@ class TransformerLayer(nn.Module):
         return h + shortcut2
 
 
+class FusedTransformerLayer(nn.Module):
+    """TransformerLayer with the LN+attention block as one Pallas kernel.
+
+    The serving-optimized layout: flat (E, 3E)/(E, E) attention weights so
+    the whole pre-LN attention block runs in VMEM
+    (``ops/fused_attention.py`` — 21% faster sampler step at the reference's
+    shapes). Convert a standard-layout checkpoint with
+    ``models.fuse.fuse_attention_params``. Falls back to an einsum with the
+    same flat weights off-accelerator.
+    """
+    num_heads: int
+    mlp_dims: int
+    embed_channels: int
+    causal: bool
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from smd_tpu.ops import fused_attention as fat
+        E = self.embed_channels
+        wqkv = self.param("wqkv", nn.initializers.lecun_normal(), (E, 3 * E))
+        bqkv = self.param("bqkv", nn.initializers.zeros, (3 * E,))
+        wout = self.param("wout", nn.initializers.lecun_normal(), (E, E))
+        bout = self.param("bout", nn.initializers.zeros, (E,))
+        lns = self.param("ln_scale", nn.initializers.ones, (E,))
+        lnb = self.param("ln_bias", nn.initializers.zeros, (E,))
+
+        B, S, _ = x.shape
+        if jax.default_backend() != "cpu" and fat.supported(
+                B, S, E, self.num_heads):
+            h = fat.fused_ln_attention(x, wqkv, bqkv, wout, bout, lns, lnb,
+                                       self.num_heads, self.causal)
+        else:
+            h = fat._reference(x, wqkv, bqkv, wout, bout, lns, lnb,
+                               self.num_heads, self.causal)
+        x = x + h.astype(x.dtype)
+
+        shortcut2 = x
+        h = nn.LayerNorm(dtype=self.dtype)(x)
+        h = nn.Dense(self.mlp_dims, dtype=self.dtype)(h)
+        h = nn.gelu(h)
+        h = nn.Dense(self.embed_channels, dtype=self.dtype)(h)
+        return h + shortcut2
+
+
 class TransformerDDPM(nn.Module):
     """Transformer epsilon-predictor over latent sequences (the main model).
 
@@ -108,6 +156,7 @@ class TransformerDDPM(nn.Module):
     embed_channels: int = 128
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, inputs, t):
@@ -119,7 +168,8 @@ class TransformerDDPM(nn.Module):
                                mlp_dims=self.mlp_dims,
                                embed_channels=self.embed_channels,
                                causal=False, dtype=self.dtype,
-                               remat=self.remat)(inputs)
+                               remat=self.remat,
+                               fused_attention=self.fused_attention)(inputs)
 
         x = nn.LayerNorm(dtype=self.dtype)(x)
         x = nn.Dense(self.mlp_dims, dtype=self.dtype)(x)
