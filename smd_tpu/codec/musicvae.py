@@ -259,10 +259,26 @@ class TrainedMusicVAE:
     def latent_dims(self):
         return self.config.latent_dims
 
+    @staticmethod
+    def _bucket(n: int) -> int:
+        """Round up to a power of two so jit compiles O(log N) batch shapes
+        instead of one program per distinct song length."""
+        b = 1
+        while b < n:
+            b *= 2
+        return b
+
     def encode_tensors(self, tensors):
-        x = jnp.asarray(np.stack(tensors), jnp.float32)
-        z, mu, sigma = self._encode_jit(self.params, x, self._next_rng())
-        return np.asarray(z), np.asarray(mu), np.asarray(sigma)
+        n = len(tensors)
+        x = np.stack(tensors).astype(np.float32)
+        bucket = self._bucket(n)
+        if bucket != n:
+            pad = np.zeros((bucket - n, *x.shape[1:]), np.float32)
+            x = np.concatenate([x, pad])
+        z, mu, sigma = self._encode_jit(self.params, jnp.asarray(x),
+                                        self._next_rng())
+        return (np.asarray(z)[:n], np.asarray(mu)[:n],
+                np.asarray(sigma)[:n])
 
     def encode(self, sequences: Sequence) -> Tuple[np.ndarray, ...]:
         tensors = []
