@@ -82,3 +82,15 @@ def test_synth_native_and_wav(tmp_path):
     from scipy.io import wavfile
     sr, data = wavfile.read(path)
     assert sr == 8000 and data.dtype == np.int16 and len(data) > 8000
+
+
+def test_synth_spectral_content():
+    """The native synth renders energy at the note's fundamental frequency."""
+    from smd_tpu.codec import synth
+    ns = _ns([69], dur=1.0)  # A4 = 440 Hz
+    sr = 8000
+    pcm = synth.synthesize(ns, sample_rate=sr)[: sr]
+    spectrum = np.abs(np.fft.rfft(pcm * np.hanning(len(pcm))))
+    freqs = np.fft.rfftfreq(len(pcm), 1 / sr)
+    peak_freq = freqs[np.argmax(spectrum)]
+    assert abs(peak_freq - 440.0) < 10.0, peak_freq

@@ -142,3 +142,39 @@ def test_ema_tracks_params():
     p_new = jax.tree_util.tree_leaves(state2.params)[0]
     e_new = jax.tree_util.tree_leaves(state2.ema_params)[0]
     assert not np.allclose(np.asarray(p_new), np.asarray(e_new))
+
+
+@pytest.mark.slow
+def test_toy_ncsn_ald_end_to_end(tmp_path):
+    """Score-matching path: train ToyNCSN with DSM, sample with annealed
+    Langevin dynamics, check Fréchet distance (the reference's
+    configs/mixture/mixture-single-2.cfg scenario, DSM instead of SSM)."""
+    lo, hi = -9.0, 9.0
+    sigmas = schedules.noise_schedule(1.0, 1e-2, 10, "geometric")
+    model = get_model("ToyNCSN", num_layers=3, mlp_dims=128)
+    config = trainer.TrainConfig(loss="dsm", learning_rate=1e-3,
+                                 batch_size=256, epochs=1, max_steps=2000,
+                                 snapshot_freq=1000, logging_freq=500,
+                                 ema=True, verbose=False)
+    state = trainer.fit(model, sigmas,
+                        _toy_batches(2000, 256, lo, hi, 0),
+                        _toy_batches(4, 256, lo, hi, 1),
+                        input_shape=(2,), config=config,
+                        model_dir=str(tmp_path / "ncsn"))
+
+    params = state.sampling_params
+    model_fn = lambda x, cond: model.apply(params, x, cond)
+    rho = np.sqrt(12) / 2
+    init = jax.random.uniform(jax.random.PRNGKey(5), (2000, 2),
+                              minval=-rho, maxval=rho)
+    out = samplers.annealed_langevin_dynamics(
+        jax.random.PRNGKey(7), model_fn, sigmas, init, epsilon=1e-4, T=100,
+        denoise=True, collect_steps=0, collect_metrics=False)
+    gen = np.asarray(out.state)
+    gen = (gen + 1) / 2 * (hi - lo) + lo
+
+    real = synthetic.toy_distribution(2000, np.random.default_rng(9))
+    fd = metrics.frechet_distance(real, gen)
+    assert fd < 8.0, f"ALD FD too high: {fd}"
+    frac_pos = (gen[:, 0] > 0).mean()
+    assert 0.55 < frac_pos < 0.98
