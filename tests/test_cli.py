@@ -141,3 +141,17 @@ def test_train_ncsn_cli_with_snapshot_sampling(toy_tfrecords, tmp_path):
           "--logging_freq=100", "--snapshot_sampling", "--eval_samples=64",
           "--noverbose"], timeout=900)
     assert os.path.isdir(os.path.join(model_dir, "eval"))
+
+
+@pytest.mark.slow
+def test_flagfile_config_compat(toy_tfrecords, tmp_path):
+    """The reference's layered .cfg flagfiles drive the CLI unchanged
+    (later flags override the file's dataset/model_dir/steps)."""
+    model_dir = str(tmp_path / "cfg2d")
+    _run(["train_ncsn.py",
+          "--flagfile=configs/mixture/mixture-single-ddpm-2.cfg",
+          f"--dataset={toy_tfrecords}", f"--model_dir={model_dir}",
+          "--num_sigmas=20", "--epochs=1", "--max_steps=2",
+          "--snapshot_freq=100", "--logging_freq=100",
+          "--nosnapshot_sampling", "--noverbose"])
+    assert os.path.isdir(os.path.join(model_dir, "ckpt"))
