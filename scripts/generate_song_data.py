@@ -45,9 +45,16 @@ flags.DEFINE_float("eval_fraction", 0.1, "Fraction of songs for eval split.")
 
 
 def _parse_one(path):
-    """Host-side: MIDI -> list of 2-bar one-hot chunk tensors per melody."""
+    """Host-side: MIDI -> list of chunk tensors per track group.
+
+    melody mode: monophonic melodies -> non-overlapping 2-bar chunks
+    (2-bar converter, stride 2 over 1-bar-hop segments).
+    multi mode: the whole multitrack sequence -> 1-bar instrument grids
+    (``codec.multitrack``), one group per song.
+    """
     from smd_tpu.codec import midi_io
     from smd_tpu.codec.melody import extract_melodies, melody_2bar_converter
+    from smd_tpu.codec.multitrack import multitrack_default_1bar_converter
     try:
         ns = midi_io.read_midi_file(path)
     except Exception as e:  # malformed files are common in Lakh
@@ -57,14 +64,15 @@ def _parse_one(path):
 
     songs_chunks = []
     if FLAGS.mode == "melody":
-        melodies = extract_melodies(ns)
+        for melody in extract_melodies(ns):
+            out = melody_2bar_converter.to_tensors(melody)
+            chunk_tensors = out.inputs[::2]
+            if chunk_tensors:
+                songs_chunks.append(chunk_tensors)
     else:
-        melodies = [ns]
-    for melody in melodies:
-        out = melody_2bar_converter.to_tensors(melody)
-        chunk_tensors = out.inputs[::2]
-        if chunk_tensors:
-            songs_chunks.append(chunk_tensors)
+        out = multitrack_default_1bar_converter.to_tensors(ns)
+        if out.inputs:
+            songs_chunks.append(out.inputs)
     return path, songs_chunks, None
 
 
@@ -85,7 +93,14 @@ def main(argv):
     logging.info("Encoding %d MIDI files", len(files))
 
     params = io_lib.load(FLAGS.vae_params) if FLAGS.vae_params else None
-    model = TrainedMusicVAE(params=params, seed=FLAGS.checkpoint_seed)
+    if FLAGS.mode == "multi":
+        from smd_tpu.config import MUSIC_VAE_CONFIG
+        entry = MUSIC_VAE_CONFIG["multi-1-big"]
+        model = TrainedMusicVAE(params=params, config=entry.model,
+                                converter=entry.data_converter,
+                                seed=FLAGS.checkpoint_seed)
+    else:
+        model = TrainedMusicVAE(params=params, seed=FLAGS.checkpoint_seed)
 
     os.makedirs(FLAGS.output, exist_ok=True)
     n_eval = max(1, int(len(files) * FLAGS.eval_fraction)) \

@@ -113,3 +113,34 @@ def test_sample_audio_script(tmp_path):
         assert os.path.exists(f"{out}/{group}/000.mid")
         assert os.path.exists(f"{out}/{group}/000.wav")
         assert os.path.exists(f"{out}/{group}/000.png")
+
+
+@pytest.mark.slow
+def test_generate_song_data_multi_mode(tmp_path, tmp_path_factory):
+    """multi mode encodes 1-bar multitrack grids via the trio-style converter."""
+    from smd_tpu.codec import midi_io
+    from smd_tpu.codec.note_sequence import NoteSequence, Tempo, TimeSignature
+    d = tmp_path_factory.mktemp("multimidi")
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        ns = NoteSequence(tempos=[Tempo(qpm=120)],
+                         time_signatures=[TimeSignature()])
+        t = 0.0
+        for _ in range(24):
+            ns.add_note(int(rng.integers(60, 72)), 80, t, t + 0.2,
+                        instrument=0, program=0)
+            ns.add_note(int(rng.integers(36, 48)), 80, t, t + 0.4,
+                        instrument=1, program=33)
+            t += 0.25
+        midi_io.write_midi_file(ns, str(d / f"m{i}.mid"))
+
+    encoded = str(tmp_path / "enc_multi")
+    _run(["scripts/generate_song_data.py", f"--input={d}/*.mid",
+          f"--output={encoded}", "--mode=multi", "--eval_fraction=0.5",
+          "--workers=1", "--encode_batch=8"], timeout=500)
+    files = glob.glob(f"{encoded}/training_seqs.tfrecord-*")
+    assert files
+    import tensorflow as tf
+    recs = list(tf.data.TFRecordDataset(files).as_numpy_iterator())
+    m = pickle.loads(recs[0])
+    assert m.ndim == 3 and m.shape[0] == 3 and m.shape[2] == 512
