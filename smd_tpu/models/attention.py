@@ -38,8 +38,11 @@ class MultiHeadSelfAttention(nn.Module):
     # einsum path stays the default for short sequences.
     use_packed: bool = False
 
+    max_decode_length: int = 128
+
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, *, deterministic: bool = True,
+                 decode: bool = False):
         B, S, _ = x.shape
         H = self.num_heads
         Dh = self.features // H
@@ -47,6 +50,33 @@ class MultiHeadSelfAttention(nn.Module):
 
         qkv = nn.DenseGeneral(features=(3, H, Dh), axis=-1, name="qkv")(x)
         q, k, v = jnp.moveaxis(qkv, -3, 0)  # each (B, S, H, Dh)
+
+        if decode:
+            # Incremental decoding: S == 1; attend over the KV cache.
+            assert S == 1, "decode mode consumes one position at a time"
+            L = self.max_decode_length
+            cached_k = self.variable("cache", "cached_key", jnp.zeros,
+                                     (B, L, H, Dh), k.dtype)
+            cached_v = self.variable("cache", "cached_value", jnp.zeros,
+                                     (B, L, H, Dh), v.dtype)
+            idx_var = self.variable("cache", "cache_index",
+                                    lambda: jnp.zeros((), jnp.int32))
+            idx = idx_var.value
+            cached_k.value = jax.lax.dynamic_update_slice(
+                cached_k.value, k, (0, idx, 0, 0))
+            cached_v.value = jax.lax.dynamic_update_slice(
+                cached_v.value, v, (0, idx, 0, 0))
+            idx_var.value = idx + 1
+
+            q = q / jnp.sqrt(Dh).astype(q.dtype)
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, cached_k.value)
+            mask = jnp.arange(L) <= idx  # causal: positions written so far
+            scores = jnp.where(mask[None, None, None], scores,
+                               jnp.finfo(scores.dtype).min)
+            weights = jax.nn.softmax(scores, axis=-1)
+            out = jnp.einsum("bhqk,bkhd->bqhd", weights, cached_v.value)
+            return nn.DenseGeneral(features=self.features, axis=(-2, -1),
+                                   name="out")(out)
 
         q = q / jnp.sqrt(Dh).astype(q.dtype)
         use_flash = (S >= self.use_flash_min_len and

@@ -35,16 +35,19 @@ class TransformerMDN(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, inputs, shift: bool = True):
+    def __call__(self, inputs, shift: bool = True, decode: bool = False,
+                 decode_position=None):
         data_channels = inputs.shape[-1]
-        x = shift_right(inputs) if shift else inputs
+        x = shift_right(inputs) if (shift and not decode) else inputs
 
         x = TransformerEncoder(num_layers=self.num_layers,
                                num_heads=self.num_heads,
                                mlp_dims=self.mlp_dims,
                                embed_channels=self.embed_channels,
                                causal=True, dtype=self.dtype,
-                               remat=self.remat)(x)
+                               remat=self.remat)(
+                                   x, decode=decode,
+                                   decode_position=decode_position)
 
         x = nn.LayerNorm(dtype=self.dtype)(x)
         x = nn.Dense(self.mlp_dims, dtype=self.dtype)(x)

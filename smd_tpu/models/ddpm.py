@@ -55,11 +55,19 @@ class TransformerEncoder(nn.Module):
     fused_attention: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, decode: bool = False, decode_position=None):
         _, seq_len, _ = x.shape
         x = x.astype(self.dtype)
-        temb = positional_encoding(seq_len,
-                                   self.embed_channels).astype(self.dtype)
+        if decode:
+            # Incremental decoding: one position; index the pos-enc table.
+            table = positional_encoding(
+                MultiHeadSelfAttention.max_decode_length,
+                self.embed_channels).astype(self.dtype)
+            temb = jax.lax.dynamic_slice_in_dim(table, decode_position, 1,
+                                                axis=0)
+        else:
+            temb = positional_encoding(seq_len,
+                                       self.embed_channels).astype(self.dtype)
         x = nn.Dense(self.embed_channels, dtype=self.dtype)(x)
         x = x + temb[None]
 
@@ -67,10 +75,21 @@ class TransformerEncoder(nn.Module):
             else TransformerLayer
         if self.remat:
             block_cls = nn.remat(block_cls)
+        if decode and self.fused_attention:
+            raise NotImplementedError(
+                "incremental decoding uses the standard layer layout")
         for _ in range(self.num_layers):
-            x = block_cls(num_heads=self.num_heads, mlp_dims=self.mlp_dims,
-                          embed_channels=self.embed_channels,
-                          causal=self.causal, dtype=self.dtype)(x)
+            if self.fused_attention:
+                x = block_cls(num_heads=self.num_heads,
+                              mlp_dims=self.mlp_dims,
+                              embed_channels=self.embed_channels,
+                              causal=self.causal, dtype=self.dtype)(x)
+            else:
+                x = block_cls(num_heads=self.num_heads,
+                              mlp_dims=self.mlp_dims,
+                              embed_channels=self.embed_channels,
+                              causal=self.causal,
+                              dtype=self.dtype)(x, decode=decode)
         return x
 
 
@@ -83,12 +102,12 @@ class TransformerLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, decode: bool = False):
         shortcut = x
         h = nn.LayerNorm(dtype=self.dtype)(x)
         h = MultiHeadSelfAttention(features=self.embed_channels,
                                    num_heads=self.num_heads,
-                                   causal=self.causal)(h)
+                                   causal=self.causal)(h, decode=decode)
         x = h + shortcut
         shortcut2 = x
         h = nn.LayerNorm(dtype=self.dtype)(x)

@@ -80,3 +80,47 @@ def ar_decode(rng,
     keys = jax.random.split(rng, steps)
     tokens, _ = jax.lax.scan(step, tokens0, (jnp.arange(steps), keys))
     return tokens
+
+
+def ar_decode_cached(rng,
+                     model,
+                     params,
+                     num_samples: int,
+                     steps: int = 32,
+                     channels: int = 42) -> jnp.ndarray:
+    """Ancestral MDN decoding with a KV cache — O(S) attention per step.
+
+    Incremental decoding (SURVEY.md §7.5 "causal cache"): each step feeds one
+    position through the transformer with cached keys/values instead of
+    re-running the full sequence. Clean ancestral sampling y_t ~ p(.|y_<t)
+    (the reference's final-step full resample quirk is not reproduced here;
+    use ``ar_decode`` for reference-exact behavior).
+
+    Args:
+        model: a TransformerMDN module (standard layer layout).
+        params: its trained variables ({'params': ...}).
+    """
+    # Initialize the cache collection with a one-position decode trace.
+    token0 = jnp.zeros((num_samples, 1, channels), jnp.float32)
+    _, variables = model.apply(params, token0, decode=True,
+                               decode_position=jnp.zeros((), jnp.int32),
+                               mutable=["cache"])
+    # Reset: the init trace above advanced cache_index; zero the collection.
+    cache0 = jax.tree_util.tree_map(jnp.zeros_like, variables["cache"])
+
+    def step(carry, inputs):
+        token, cache, out = carry
+        i, step_rng = inputs
+        (pi, mu, log_sigma), vars_out = model.apply(
+            {**params, "cache": cache}, token, decode=True,
+            decode_position=i, mutable=["cache"])
+        z = sample_mixture(step_rng, pi[:, 0], mu[:, 0], log_sigma[:, 0],
+                           channels)
+        out = jax.lax.dynamic_update_index_in_dim(out, z, i, axis=1)
+        return (z[:, None, :], vars_out["cache"], out), ()
+
+    keys = jax.random.split(rng, steps)
+    out0 = jnp.zeros((num_samples, steps, channels), jnp.float32)
+    (_, _, out), _ = jax.lax.scan(step, (token0, cache0, out0),
+                                  (jnp.arange(steps), keys))
+    return out
