@@ -73,13 +73,15 @@ class TransformerEncoder(nn.Module):
 
         block_cls = FusedTransformerLayer if self.fused_attention \
             else TransformerLayer
-        if self.remat:
-            block_cls = nn.remat(block_cls)
         if decode and self.fused_attention:
             raise NotImplementedError(
                 "incremental decoding uses the standard layer layout")
+        # remat is a training-memory trade; decode is inference-only, so the
+        # two never combine (and the decode kwarg must stay static).
+        if self.remat and not decode:
+            block_cls = nn.remat(block_cls)
         for _ in range(self.num_layers):
-            if self.fused_attention:
+            if self.fused_attention or not decode:
                 x = block_cls(num_heads=self.num_heads,
                               mlp_dims=self.mlp_dims,
                               embed_channels=self.embed_channels,
@@ -89,7 +91,7 @@ class TransformerEncoder(nn.Module):
                               mlp_dims=self.mlp_dims,
                               embed_channels=self.embed_channels,
                               causal=self.causal,
-                              dtype=self.dtype)(x, decode=decode)
+                              dtype=self.dtype)(x, decode=True)
         return x
 
 
