@@ -84,7 +84,7 @@ def chunks_to_embeddings(sequences, model, data_converter):
     """Encode chunks; full-rest chunks get zero vectors (ref :142-174)."""
     assert model is not None, "No model provided."
     latent_dims = model.latent_dims
-    idx, non_rest, tensors = [], [], []
+    idx, tensors = [], []
     zs = np.zeros((len(sequences), latent_dims))
     mus = np.zeros((len(sequences), latent_dims))
     sigmas = np.zeros((len(sequences), latent_dims))

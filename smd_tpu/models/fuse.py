@@ -20,7 +20,6 @@ __all__ = ["fuse_attention_params"]
 
 
 def _fuse_layer(layer):
-    E3 = None
     out = {}
     attn = layer["MultiHeadSelfAttention_0"]
     qkv_kernel = np.asarray(attn["qkv"]["kernel"])     # (E, 3, H, Dh)
@@ -37,7 +36,6 @@ def _fuse_layer(layer):
     out["LayerNorm_0"] = dict(layer["LayerNorm_1"])
     out["Dense_0"] = dict(layer["Dense_0"])
     out["Dense_1"] = dict(layer["Dense_1"])
-    del E3
     return out
 
 
