@@ -63,8 +63,10 @@ def _maybe_collect(collection, collection_idx, image_idx, value):
     """Write ``value`` into the snapshot slot matching ``image_idx``, if any."""
     if collection is None:
         return None
-    hit = jnp.isin(collection_idx, image_idx)
-    slot = jnp.sum(jnp.arange(collection_idx.shape[0]) * hit) + 1
+    hit = collection_idx == image_idx
+    # argmax -> first matching slot; robust to duplicate collection indices
+    # (a sum over arange*hit produced an out-of-range slot on duplicates).
+    slot = jnp.argmax(hit) + 1
     return jax.lax.cond(
         hit.any(),
         lambda c: jax.lax.dynamic_update_index_in_dim(c, value, slot, axis=0),
@@ -113,7 +115,8 @@ def annealed_langevin_dynamics(rng,
     start = init * (1 - infill_masks) + infill_samples * infill_masks
     collection = _init_collection(collect_steps, int(denoise), start)
     collection_idx = jnp.linspace(1, num_sigmas * T,
-                                  max(collect_steps, 1)).astype(jnp.int32)
+                                  max(collect_steps, 1)).round().astype(
+                                      jnp.int32)
 
     def langevin_step(carry, i):
         state, rng, sigma_i, alpha, collection = carry
@@ -184,7 +187,8 @@ def consistent_langevin_dynamics(rng,
     start = init * (1 - infill_masks) + infill_samples * infill_masks
     collection = _init_collection(collect_steps, int(denoise), start)
     collection_idx = jnp.linspace(1, num_sigmas,
-                                  max(collect_steps, 1)).astype(jnp.int32)
+                                  max(collect_steps, 1)).round().astype(
+                                      jnp.int32)
 
     beta = jnp.sqrt(1 - (1 - epsilon / (sigmas[-1]**2))**2)
 
@@ -255,7 +259,9 @@ def diffusion_dynamics(rng,
 
     start = init * (1 - infill_masks) + infill_samples * infill_masks
     collection = _init_collection(collect_steps, 0, start)
-    collection_idx = jnp.linspace(1, T, max(collect_steps, 1)).astype(jnp.int32)
+    collection_idx = jnp.linspace(1, T,
+                                  max(collect_steps, 1)).round().astype(
+                                      jnp.int32)
 
     def sample_with_beta(carry, t):
         state, rng, collection = carry
@@ -343,7 +349,8 @@ def ddim_dynamics(rng,
     start = init * (1 - infill_masks) + infill_samples * infill_masks
     collection = _init_collection(collect_steps, 0, start)
     collection_idx = jnp.linspace(1, num_steps,
-                                  max(collect_steps, 1)).astype(jnp.int32)
+                                  max(collect_steps, 1)).round().astype(
+                                      jnp.int32)
 
     def step(carry, i):
         state, rng, collection = carry

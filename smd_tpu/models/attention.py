@@ -79,9 +79,11 @@ class MultiHeadSelfAttention(nn.Module):
                                    name="out")(out)
 
         q = q / jnp.sqrt(Dh).astype(q.dtype)
-        use_flash = (S >= self.use_flash_min_len and
-                     fa.supported(S, Dh, q.dtype))
+        # Pallas kernels only lower on accelerator backends; the CPU test
+        # mesh (and any CPU run) takes the einsum path XLA fuses anyway.
         on_accelerator = jax.default_backend() != "cpu"
+        use_flash = (S >= self.use_flash_min_len and on_accelerator and
+                     fa.supported(S, Dh, q.dtype))
         out = None
         if use_flash:
             out = fa.flash_attention(q, k, v, causal=self.causal)

@@ -33,6 +33,7 @@ class TransformerMDN(nn.Module):
     embed_channels: int = 128
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    max_decode_length: int = 128
 
     @nn.compact
     def __call__(self, inputs, shift: bool = True, decode: bool = False,
@@ -45,7 +46,8 @@ class TransformerMDN(nn.Module):
                                mlp_dims=self.mlp_dims,
                                embed_channels=self.embed_channels,
                                causal=True, dtype=self.dtype,
-                               remat=self.remat)(
+                               remat=self.remat,
+                               max_decode_length=self.max_decode_length)(
                                    x, decode=decode,
                                    decode_position=decode_position)
 

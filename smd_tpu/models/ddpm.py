@@ -53,6 +53,7 @@ class TransformerEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     fused_attention: bool = False
+    max_decode_length: int = 128
 
     @nn.compact
     def __call__(self, x, decode: bool = False, decode_position=None):
@@ -61,7 +62,7 @@ class TransformerEncoder(nn.Module):
         if decode:
             # Incremental decoding: one position; index the pos-enc table.
             table = positional_encoding(
-                MultiHeadSelfAttention.max_decode_length,
+                self.max_decode_length,
                 self.embed_channels).astype(self.dtype)
             temb = jax.lax.dynamic_slice_in_dim(table, decode_position, 1,
                                                 axis=0)
@@ -81,17 +82,25 @@ class TransformerEncoder(nn.Module):
         if self.remat and not decode:
             block_cls = nn.remat(block_cls)
         for _ in range(self.num_layers):
-            if self.fused_attention or not decode:
+            if self.fused_attention:
                 x = block_cls(num_heads=self.num_heads,
                               mlp_dims=self.mlp_dims,
                               embed_channels=self.embed_channels,
                               causal=self.causal, dtype=self.dtype)(x)
+            elif not decode:
+                x = block_cls(num_heads=self.num_heads,
+                              mlp_dims=self.mlp_dims,
+                              embed_channels=self.embed_channels,
+                              causal=self.causal, dtype=self.dtype,
+                              max_decode_length=self.max_decode_length)(x)
             else:
                 x = block_cls(num_heads=self.num_heads,
                               mlp_dims=self.mlp_dims,
                               embed_channels=self.embed_channels,
                               causal=self.causal,
-                              dtype=self.dtype)(x, decode=True)
+                              dtype=self.dtype,
+                              max_decode_length=self.max_decode_length)(
+                                  x, decode=True)
         return x
 
 
@@ -102,14 +111,16 @@ class TransformerLayer(nn.Module):
     embed_channels: int
     causal: bool
     dtype: jnp.dtype = jnp.float32
+    max_decode_length: int = 128
 
     @nn.compact
     def __call__(self, x, decode: bool = False):
         shortcut = x
         h = nn.LayerNorm(dtype=self.dtype)(x)
-        h = MultiHeadSelfAttention(features=self.embed_channels,
-                                   num_heads=self.num_heads,
-                                   causal=self.causal)(h, decode=decode)
+        h = MultiHeadSelfAttention(
+            features=self.embed_channels, num_heads=self.num_heads,
+            causal=self.causal,
+            max_decode_length=self.max_decode_length)(h, decode=decode)
         x = h + shortcut
         shortcut2 = x
         h = nn.LayerNorm(dtype=self.dtype)(x)

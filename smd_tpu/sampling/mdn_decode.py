@@ -100,6 +100,13 @@ def ar_decode_cached(rng,
         model: a TransformerMDN module (standard layer layout).
         params: its trained variables ({'params': ...}).
     """
+    max_len = getattr(model, "max_decode_length", 128)
+    if steps > max_len:
+        raise ValueError(
+            f"steps={steps} exceeds the model's KV-cache capacity "
+            f"max_decode_length={max_len}; construct the model with "
+            f"max_decode_length>={steps} (decoding past the cache would "
+            f"silently attend over truncated history)")
     # Initialize the cache collection with a one-position decode trace.
     token0 = jnp.zeros((num_samples, 1, channels), jnp.float32)
     _, variables = model.apply(params, token0, decode=True,

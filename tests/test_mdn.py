@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from smd_tpu.models import get_model
 from smd_tpu.sampling import mdn_decode
@@ -112,3 +113,26 @@ def test_ar_decode_cached_runs(rng):
     out2 = mdn_decode.ar_decode_cached(rng, model, params, 2, steps=8,
                                        channels=6)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_ar_decode_cached_long_sequence(rng):
+    """Decoding past 128 positions works when the model is built for it."""
+    model = get_model("TransformerMDN", num_layers=1, num_heads=2,
+                      num_mlp_layers=1, mlp_dims=32, mdn_mixtures=4,
+                      max_decode_length=256)
+    x = jnp.zeros((1, 256, 4))
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = mdn_decode.ar_decode_cached(rng, model, params, 1, steps=256,
+                                      channels=4)
+    assert out.shape == (1, 256, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_ar_decode_cached_over_cap_fails_loudly(rng):
+    model = get_model("TransformerMDN", num_layers=1, num_heads=2,
+                      num_mlp_layers=1, mlp_dims=32, mdn_mixtures=4)
+    x = jnp.zeros((1, 8, 4))
+    params = model.init(jax.random.PRNGKey(0), x)
+    with pytest.raises(ValueError, match="max_decode_length"):
+        mdn_decode.ar_decode_cached(rng, model, params, 1, steps=200,
+                                    channels=4)
