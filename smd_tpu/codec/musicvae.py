@@ -64,21 +64,57 @@ class Encoder(nn.Module):
         return mu, sigma
 
 
+class DecoderCell(nn.Module):
+    """One decoder step: [token; z] through the LSTM stack -> vocab logits.
+
+    The scan unit for both decode modes — ONE module instance so weights are
+    shared. The mode is chosen statically by the per-step input's trailing
+    width: teacher forcing feeds the target tokens (width = vocab depth),
+    sampling feeds width-0 dummies and draws the feedback token from the
+    logits. ``temperature`` rides in the carry (not as an attribute) so
+    callers can jit over it as a traced value.
+    """
+    config: MusicVAEConfig
+
+    @nn.compact
+    def __call__(self, carry, x_t):
+        cfg = self.config
+        carries, token, z, rng, temp = carry
+        x = jnp.concatenate([token, z], axis=-1)
+        new_carries = []
+        for i, u in enumerate(cfg.dec_units):
+            c, x = nn.OptimizedLSTMCell(u, name=f"lstm_{i}")(carries[i], x)
+            new_carries.append(c)
+        logits = nn.Dense(cfg.depth, name="logits")(x)
+        if x_t.shape[-1]:   # teacher forcing (static: shape-determined)
+            new_token = x_t
+            idx = jnp.zeros((logits.shape[0],), jnp.int32)
+        else:
+            rng, step_rng = jax.random.split(rng)
+            idx = jax.random.categorical(
+                step_rng, logits / jnp.maximum(temp, 1e-6))
+            new_token = jax.nn.one_hot(idx, cfg.depth, dtype=z.dtype)
+        return (tuple(new_carries), new_token, z, rng, temp), (logits, idx)
+
+
 class Decoder(nn.Module):
-    """Stacked-LSTM categorical decoder.
+    """Stacked-LSTM categorical decoder as a single ``nn.scan`` program.
 
     Teacher-forced mode (``targets`` given) returns logits for training;
-    sampling mode draws autoregressively with a temperature.
+    sampling mode draws autoregressively with a temperature. Either way the
+    whole rollout is ONE scan over time — a 256-step hierdec decode compiles
+    as a 16-iteration loop body, not a 256-step unrolled graph (the
+    reference's TF1 dynamic_decode analogue, ``song_utils.py:177-203``).
     """
     config: MusicVAEConfig
 
     def setup(self):
         cfg = self.config
-        self.cells = [nn.OptimizedLSTMCell(u, name=f"lstm_{i}")
-                      for i, u in enumerate(cfg.dec_units)]
         self.initial_state = nn.Dense(
             2 * sum(cfg.dec_units), name="z_to_initial_state")
-        self.output_projection = nn.Dense(cfg.depth, name="logits")
+        scan = nn.scan(DecoderCell, variable_broadcast="params",
+                       split_rngs={"params": False}, in_axes=1, out_axes=1)
+        self.cell = scan(cfg, name="cell")
 
     def _init_carries(self, z):
         cfg = self.config
@@ -89,15 +125,7 @@ class Decoder(nn.Module):
             h = init[:, offset + u:offset + 2 * u]
             carries.append((c, h))
             offset += 2 * u
-        return carries
-
-    def _step(self, carries, token, z):
-        x = jnp.concatenate([token, z], axis=-1)
-        new_carries = []
-        for cell, carry in zip(self.cells, carries):
-            carry, x = cell(carry, x)
-            new_carries.append(carry)
-        return new_carries, self.output_projection(x)
+        return tuple(carries)
 
     def __call__(self, z, targets=None, rng=None, temperature=1e-3,
                  length: Optional[int] = None):
@@ -108,23 +136,31 @@ class Decoder(nn.Module):
                 else cfg.max_seq_len
         carries = self._init_carries(z)
         token = jnp.zeros((B, cfg.depth), z.dtype)
+        temp = jnp.asarray(temperature, z.dtype)
+        if rng is None:
+            rng = jax.random.PRNGKey(0)   # unused under teacher forcing
 
-        logits_seq, samples_seq = [], []
-        for t in range(length):
-            carries, logits = self._step(carries, token, z)
-            logits_seq.append(logits)
-            if targets is not None:   # teacher forcing
-                token = targets[:, t]
-            else:
-                rng, step_rng = jax.random.split(rng)
-                idx = jax.random.categorical(
-                    step_rng, logits / jnp.maximum(temperature, 1e-6))
-                token = jax.nn.one_hot(idx, cfg.depth, dtype=z.dtype)
-                samples_seq.append(idx)
-        logits = jnp.stack(logits_seq, axis=1)
-        if targets is not None:
+        carry0 = (carries, token, z, rng, temp)
+        if targets is not None:   # teacher forcing: feedback from targets
+            _, (logits, _) = self.cell(carry0, targets)
             return logits
-        return logits, jnp.stack(samples_seq, axis=1)
+        xs = jnp.zeros((B, length, 0), z.dtype)
+        _, (logits, samples) = self.cell(carry0, xs)
+        return logits, samples
+
+
+class ConductorCell(nn.Module):
+    """One conductor step: LSTM + projection to a segment embedding."""
+    config: MusicVAEConfig
+
+    @nn.compact
+    def __call__(self, carry, _):
+        cfg = self.config
+        lstm_carry, token = carry
+        lstm_carry, h = nn.OptimizedLSTMCell(
+            cfg.conductor_units, name="lstm")(lstm_carry, token)
+        token = nn.Dense(cfg.latent_dims, name="segment_embedding")(h)
+        return (lstm_carry, token), token
 
 
 class Conductor(nn.Module):
@@ -132,26 +168,24 @@ class Conductor(nn.Module):
 
     The Magenta hierdec pattern: a small LSTM rolled out for ``segments``
     steps from a z-derived initial state; each output is projected to a
-    segment-level embedding that conditions the core decoder.
+    segment-level embedding that conditions the core decoder. The rollout is
+    one ``nn.scan`` over segments.
     """
     config: MusicVAEConfig
 
     @nn.compact
     def __call__(self, z):
         cfg = self.config
-        cell = nn.OptimizedLSTMCell(cfg.conductor_units)
         init = jnp.tanh(nn.Dense(2 * cfg.conductor_units,
                                  name="z_to_state")(z))
         carry = (init[:, :cfg.conductor_units],
                  init[:, cfg.conductor_units:])
-        out_proj = nn.Dense(cfg.latent_dims, name="segment_embedding")
-        embeddings = []
         token = jnp.zeros((z.shape[0], cfg.latent_dims), z.dtype)
-        for _ in range(cfg.hier_segments):
-            carry, h = cell(carry, token)
-            token = out_proj(h)
-            embeddings.append(token)
-        return jnp.stack(embeddings, axis=1)  # (B, segments, latent)
+        scan = nn.scan(ConductorCell, variable_broadcast="params",
+                       split_rngs={"params": False}, in_axes=1, out_axes=1)
+        xs = jnp.zeros((z.shape[0], cfg.hier_segments, 0), z.dtype)
+        _, embeddings = scan(cfg, name="cell")((carry, token), xs)
+        return embeddings  # (B, segments, latent)
 
 
 class MusicVAE(nn.Module):
@@ -171,18 +205,19 @@ class MusicVAE(nn.Module):
     def decode(self, z, rng, temperature=1e-3, length=None):
         cfg = self.config
         if cfg.hier_segments > 0:
-            seg_len = (length or cfg.max_seq_len) // cfg.hier_segments
-            embeddings = self.conductor(z)
-            logits_all, samples_all = [], []
-            for s in range(cfg.hier_segments):
-                rng, seg_rng = jax.random.split(rng)
-                logits, samples = self.decoder(
-                    embeddings[:, s], rng=seg_rng, temperature=temperature,
-                    length=seg_len)
-                logits_all.append(logits)
-                samples_all.append(samples)
-            return (jnp.concatenate(logits_all, axis=1),
-                    jnp.concatenate(samples_all, axis=1))
+            # Segments are conditionally independent given the conductor
+            # embeddings, so fold them into the batch axis: one seg_len-step
+            # scan at batch B*segments instead of a Python loop of decodes.
+            S = cfg.hier_segments
+            seg_len = (length or cfg.max_seq_len) // S
+            embeddings = self.conductor(z)            # (B, S, latent)
+            B = z.shape[0]
+            flat = embeddings.reshape(B * S, cfg.latent_dims)
+            logits, samples = self.decoder(flat, rng=rng,
+                                           temperature=temperature,
+                                           length=seg_len)
+            return (logits.reshape(B, S * seg_len, cfg.depth),
+                    samples.reshape(B, S * seg_len))
         return self.decoder(z, rng=rng, temperature=temperature,
                             length=length)
 
@@ -191,13 +226,14 @@ class MusicVAE(nn.Module):
         z, mu, sigma = self.encode(x, rng)
         cfg = self.config
         if cfg.hier_segments > 0:
-            seg_len = x.shape[1] // cfg.hier_segments
-            embeddings = self.conductor(z)
-            logits = jnp.concatenate([
-                self.decoder(embeddings[:, s],
-                             targets=x[:, s * seg_len:(s + 1) * seg_len])
-                for s in range(cfg.hier_segments)
-            ], axis=1)
+            S = cfg.hier_segments
+            B, T, depth = x.shape
+            seg_len = T // S
+            embeddings = self.conductor(z)            # (B, S, latent)
+            flat = embeddings.reshape(B * S, cfg.latent_dims)
+            seg_targets = x.reshape(B * S, seg_len, depth)
+            logits = self.decoder(flat, targets=seg_targets)
+            logits = logits.reshape(B, T, cfg.depth)
         else:
             logits = self.decoder(z, targets=x)
         return logits, mu, sigma
@@ -237,7 +273,16 @@ class TrainedMusicVAE:
         self.converter = converter or melody_2bar_converter
         self.model = MusicVAE(config)
         rng = jax.random.PRNGKey(seed)
+        self.random_weights = params is None
         if params is None:
+            import logging
+            logging.getLogger(__name__).warning(
+                "TrainedMusicVAE constructed WITHOUT trained parameters: "
+                "encode/decode run with random weights, so decoded MIDI is "
+                "musically meaningless. Train a codec with "
+                "scripts/train_musicvae.py and pass its params bundle "
+                "(the reference's capability assumes a pretrained MusicVAE, "
+                "reference config.py:17-19).")
             x0 = jnp.zeros((1, config.max_seq_len, config.depth))
             params = self.model.init(
                 {"params": rng}, x0, rng, method=MusicVAE.__call__)
