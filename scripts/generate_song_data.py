@@ -49,12 +49,12 @@ def _parse_one(path):
 
     melody mode: monophonic melodies -> non-overlapping 2-bar chunks
     (2-bar converter, stride 2 over 1-bar-hop segments).
-    multi mode: the whole multitrack sequence -> 1-bar instrument grids
-    (``codec.multitrack``), one group per song.
+    multi mode: the whole multitrack sequence -> 1-bar per-instrument
+    performance-event streams (``codec.performance``), one group per song.
     """
     from smd_tpu.codec import midi_io
     from smd_tpu.codec.melody import extract_melodies, melody_2bar_converter
-    from smd_tpu.codec.multitrack import multitrack_default_1bar_converter
+    from smd_tpu.codec.performance import multiperf_default_1bar_converter
     try:
         ns = midi_io.read_midi_file(path)
     except Exception as e:  # malformed files are common in Lakh
@@ -70,7 +70,7 @@ def _parse_one(path):
             if chunk_tensors:
                 songs_chunks.append(chunk_tensors)
     else:
-        out = multitrack_default_1bar_converter.to_tensors(ns)
+        out = multiperf_default_1bar_converter.to_tensors(ns)
         if out.inputs:
             songs_chunks.append(out.inputs)
     return path, songs_chunks, None

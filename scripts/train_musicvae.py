@@ -5,12 +5,20 @@ The reference depends on Google's pretrained MusicVAE checkpoints
 the codec self-sufficient: it tokenizes MIDI with the melody converter and
 trains the Flax MusicVAE (``smd_tpu.codec.musicvae``) with the ELBO on TPU.
 Saved params plug into every pipeline entry that takes ``--vae_params``.
+
+Evaluation on a held-out split reports:
+- teacher-forced token accuracy (next-token prediction given ground truth);
+- free-running reconstruction accuracy: encode -> mu -> sample the decoder at
+  low temperature -> fraction of the 32 grid steps whose token matches the
+  input. This is the number recorded in docs/DESIGN.md for the shipped codec.
 """
 from __future__ import annotations
 
+import concurrent.futures
 import glob
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -23,7 +31,8 @@ flags.DEFINE_string("output", "./checkpoints/musicvae.pkl",
                     "Output params pickle.")
 flags.DEFINE_integer("batch_size", 64, "Batch size.")
 flags.DEFINE_integer("steps", 2000, "Training steps.")
-flags.DEFINE_float("learning_rate", 1e-3, "Learning rate.")
+flags.DEFINE_float("learning_rate", 1e-3, "Peak learning rate.")
+flags.DEFINE_integer("warmup_steps", 200, "LR warmup steps.")
 flags.DEFINE_float("beta", 0.2, "KL weight.")
 flags.DEFINE_float("free_bits", 48.0, "Free bits for the KL term.")
 flags.DEFINE_integer("latent_dims", 512, "Latent dims.")
@@ -32,20 +41,37 @@ flags.DEFINE_integer("dec_units", 512, "Decoder LSTM units per layer.")
 flags.DEFINE_integer("dec_layers", 2, "Decoder LSTM layers.")
 flags.DEFINE_integer("log_every", 100, "Logging frequency.")
 flags.DEFINE_integer("seed", 0, "PRNG seed.")
+flags.DEFINE_float("eval_frac", 0.05, "Held-out fraction for evaluation.")
+flags.DEFINE_integer("eval_batches", 8, "Eval batches per evaluation.")
+flags.DEFINE_bool("half_precision_artifact", True,
+                  "Save params as float16 (halves the artifact size; "
+                  "restored to float32 at load).")
+flags.DEFINE_integer("parse_workers", 8, "Processes for MIDI parsing.")
 
 
-def load_tensors(files):
+def _parse_one(path):
+    """Worker: MIDI file -> list of 2-bar one-hot chunk tensors."""
     from smd_tpu.codec import midi_io
     from smd_tpu.codec.melody import extract_melodies, melody_2bar_converter
+    try:
+        ns = midi_io.read_midi_file(path)
+    except Exception:
+        return []
+    out = []
+    for melody in extract_melodies(ns):
+        out.extend(melody_2bar_converter.to_tensors(melody).inputs[::2])
+    return out
+
+
+def load_tensors(files, workers=8):
     tensors = []
-    for path in files:
-        try:
-            ns = midi_io.read_midi_file(path)
-        except Exception:
-            continue
-        for melody in extract_melodies(ns):
-            tensors.extend(
-                melody_2bar_converter.to_tensors(melody).inputs[::2])
+    if workers <= 1 or len(files) < 16:
+        for path in files:
+            tensors.extend(_parse_one(path))
+    else:
+        with concurrent.futures.ProcessPoolExecutor(workers) as pool:
+            for chunk in pool.map(_parse_one, files, chunksize=16):
+                tensors.extend(chunk)
     return np.stack(tensors) if tensors else None
 
 
@@ -58,10 +84,21 @@ def main(argv):
     from smd_tpu.utils import io as io_lib
 
     files = sorted(glob.glob(os.path.expanduser(FLAGS.input), recursive=True))
-    data = load_tensors(files)
+    t0 = time.time()
+    data = load_tensors(files, FLAGS.parse_workers)
     if data is None:
         raise ValueError("No melody chunks extracted from input")
-    logging.info("Training on %d melody chunks", len(data))
+    logging.info("Parsed %d files -> %d melody chunks in %.1fs", len(files),
+                 len(data), time.time() - t0)
+
+    # Held-out split for honest reconstruction numbers.
+    rng_np = np.random.default_rng(FLAGS.seed)
+    perm = rng_np.permutation(len(data))
+    n_eval = max(FLAGS.batch_size,
+                 int(len(data) * FLAGS.eval_frac)) if FLAGS.eval_frac else 0
+    eval_data = data[perm[:n_eval]]
+    train_data = data[perm[n_eval:]]
+    logging.info("train %d / eval %d chunks", len(train_data), len(eval_data))
 
     cfg = MusicVAEConfig(latent_dims=FLAGS.latent_dims,
                          enc_units=FLAGS.enc_units,
@@ -73,9 +110,14 @@ def main(argv):
     rng, init_rng = jax.random.split(rng)
     x0 = jnp.zeros((2, cfg.max_seq_len, cfg.depth))
     params = model.init({"params": init_rng}, x0, init_rng)
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
+    logging.info("MusicVAE %s: %.1fM params", cfg, n_params / 1e6)
 
-    tx = optax.chain(optax.clip_by_global_norm(1.0),
-                     optax.adam(FLAGS.learning_rate))
+    warmup = min(FLAGS.warmup_steps, max(FLAGS.steps // 10, 1))
+    schedule = optax.warmup_cosine_decay_schedule(
+        0.0, FLAGS.learning_rate, warmup, FLAGS.steps,
+        end_value=FLAGS.learning_rate * 0.02)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(schedule))
     opt_state = tx.init(params)
 
     @jax.jit
@@ -91,20 +133,67 @@ def main(argv):
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, aux
 
-    n = len(data)
-    rng_np = np.random.default_rng(FLAGS.seed)
+    @jax.jit
+    def eval_step(params, batch, rng):
+        """Teacher-forced accuracy + free-running round-trip accuracy."""
+        logits, mu, sigma = model.apply(params, batch, rng)
+        labels = batch.argmax(-1)
+        tf_acc = (logits.argmax(-1) == labels).mean()
+        # Free-running: decode from mu at near-greedy temperature.
+        _, samples = model.apply(params, mu, rng, temperature=1e-3,
+                                 method=MusicVAE.decode)
+        fr_acc = (samples == labels).mean()
+        return tf_acc, fr_acc
+
+    def evaluate(params, rng):
+        tf_accs, fr_accs = [], []
+        for b in range(min(FLAGS.eval_batches,
+                           len(eval_data) // FLAGS.batch_size)):
+            batch = jnp.asarray(
+                eval_data[b * FLAGS.batch_size:(b + 1) * FLAGS.batch_size])
+            rng, k = jax.random.split(rng)
+            tf_acc, fr_acc = eval_step(params, batch, k)
+            tf_accs.append(float(tf_acc))
+            fr_accs.append(float(fr_acc))
+        return float(np.mean(tf_accs)), float(np.mean(fr_accs))
+
+    n = len(train_data)
+    t0 = time.time()
     for step in range(FLAGS.steps):
         idx = rng_np.integers(0, n, FLAGS.batch_size)
-        batch = jnp.asarray(data[idx])
+        batch = jnp.asarray(train_data[idx])
         rng, step_rng = jax.random.split(rng)
         params, opt_state, loss, aux = train_step(params, opt_state, batch,
                                                   step_rng)
         if step % FLAGS.log_every == 0:
-            logging.info("step %d | elbo %.3f | rec %.3f | kl %.3f", step,
-                         float(loss), float(aux["rec"]), float(aux["kl"]))
+            msg = (f"step {step} | elbo {float(loss):.3f} | "
+                   f"rec {float(aux['rec']):.3f} | kl {float(aux['kl']):.3f}"
+                   f" | {step / max(time.time() - t0, 1e-9):.1f} steps/s")
+            if len(eval_data) >= FLAGS.batch_size:
+                rng, ek = jax.random.split(rng)
+                tf_acc, fr_acc = evaluate(params, ek)
+                msg += (f" | eval tf_acc {tf_acc:.4f} | "
+                        f"eval roundtrip_acc {fr_acc:.4f}")
+            logging.info("%s", msg)
 
+    metrics = {}
+    if len(eval_data) >= FLAGS.batch_size:
+        rng, ek = jax.random.split(rng)
+        tf_acc, fr_acc = evaluate(params, ek)
+        metrics = {"eval_teacher_forced_acc": tf_acc,
+                   "eval_roundtrip_acc": fr_acc,
+                   "eval_chunks": int(len(eval_data)),
+                   "train_chunks": int(len(train_data))}
+        logging.info("FINAL eval: teacher-forced acc %.4f | "
+                     "round-trip acc %.4f", tf_acc, fr_acc)
+
+    if FLAGS.half_precision_artifact:
+        params = jax.tree_util.tree_map(
+            lambda p: np.asarray(p, np.float16)
+            if np.asarray(p).dtype == np.float32 else np.asarray(p), params)
     os.makedirs(os.path.dirname(os.path.abspath(FLAGS.output)), exist_ok=True)
-    io_lib.save({"params": params, "config": cfg}, FLAGS.output)
+    io_lib.save({"params": params, "config": cfg, "metrics": metrics},
+                FLAGS.output)
     logging.info("Saved MusicVAE params to %s", FLAGS.output)
 
 

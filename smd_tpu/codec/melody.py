@@ -40,11 +40,13 @@ class MelodyConverter:
     """NoteSequence <-> one-hot melody segments."""
 
     def __init__(self, steps_per_quarter: int = 4, slice_bars: int = 2,
-                 steps_per_bar: int = 16, qpm: float = 120.0):
+                 steps_per_bar: int = 16, qpm: float = 120.0,
+                 skip_polyphony: bool = False):
         self.steps_per_quarter = steps_per_quarter
         self.slice_bars = slice_bars
         self.steps_per_bar = steps_per_bar
         self.qpm = qpm
+        self.skip_polyphony = skip_polyphony
         self.depth = VOCAB_SIZE
         self.seq_len = slice_bars * steps_per_bar
 
@@ -52,6 +54,17 @@ class MelodyConverter:
 
     def _events_from_ns(self, ns: NoteSequence) -> Optional[np.ndarray]:
         """Melody event id per step over the whole sequence (monophonic)."""
+        out = self._events_and_polyphony(ns)
+        return None if out is None else out[0]
+
+    def _events_and_polyphony(self, ns: NoteSequence):
+        """(events, per-step polyphony mask) for the whole sequence.
+
+        The mask marks steps where more than one note sounds — the signal the
+        nopoly converter uses to *skip* segments, matching magenta's
+        ``skip_polyphony=True`` (reference ``config.py:32-39``) instead of
+        the standard converter's highest-note reduction.
+        """
         q = ns.quantize(self.steps_per_quarter) \
             if ns.quantization_info_steps_per_quarter == 0 else ns
         notes = [n for n in q.notes
@@ -63,6 +76,7 @@ class MelodyConverter:
         num_steps = int(np.ceil(last_step / self.steps_per_bar)
                         ) * self.steps_per_bar
         events = np.zeros(num_steps, np.int32)  # NO_EVENT
+        sounding = np.zeros(num_steps, np.int32)
 
         # Monophonic reduction: at conflicts keep the highest pitch
         # (ignore_polyphonic_notes=True in the reference's converter).
@@ -71,6 +85,7 @@ class MelodyConverter:
         active_pitch = None
         for n in notes:
             s, e = n.quantized_start_step, n.quantized_end_step
+            sounding[s:max(e, s + 1)] += 1
             if s < active_end and active_pitch is not None and \
                     n.pitch <= active_pitch:
                 continue  # lower simultaneous note: ignored
@@ -80,23 +95,28 @@ class MelodyConverter:
                 events[e] = NOTE_OFF
             active_end = e
             active_pitch = n.pitch
-        return events
+        return events, sounding > 1
 
     def to_tensors(self, ns: NoteSequence) -> ConverterOutput:
-        events = self._events_from_ns(ns)
-        if events is None:
+        out = self._events_and_polyphony(ns)
+        if out is None:
             return ConverterOutput(inputs=[])
+        events, poly = out
         num_bars = len(events) // self.steps_per_bar
         segments = []
         for bar in range(0, num_bars - self.slice_bars + 1):
-            seg = events[bar * self.steps_per_bar:
-                         (bar + self.slice_bars) * self.steps_per_bar]
+            lo = bar * self.steps_per_bar
+            hi = (bar + self.slice_bars) * self.steps_per_bar
+            if self.skip_polyphony and poly[lo:hi].any():
+                continue   # magenta's nopoly: drop polyphonic segments
+            seg = events[lo:hi]
             if (seg >= 2).any():  # keep segments containing at least one note
                 onehot = np.zeros((self.seq_len, self.depth), np.float32)
                 onehot[np.arange(self.seq_len), seg] = 1.0
                 segments.append(onehot)
         # Edge case: shorter than one slice — pad to slice length.
-        if not segments and (events >= 2).any():
+        if not segments and (events >= 2).any() and \
+                not (self.skip_polyphony and poly.any()):
             seg = np.zeros(self.seq_len, np.int32)
             seg[:len(events)] = events[:self.seq_len]
             onehot = np.zeros((self.seq_len, self.depth), np.float32)

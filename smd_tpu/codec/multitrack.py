@@ -1,13 +1,13 @@
-"""Multi-instrument performance tokenization (1-bar chunks).
+"""Compact multi-instrument GRID tokenization (1-bar chunks) — legacy
+alternative.
 
-Equivalent in capability to the reference's use of Magenta's
-``MultiInstrumentPerformanceConverter`` (``config.py:50-64``: 8 velocity
-bins, 1-bar hops, up to 8 instruments, 64 events per instrument). This
-implementation encodes each bar as a fixed grid of per-instrument
-monophonic-track events rather than a performance-event stream — a
-simplification that keeps the [chunk -> tensor -> chunk] contract (slicing,
-rest detection, instrument fixing) identical while remaining a regular,
-MXU-friendly tensor layout.
+The parity converter for the reference's multitrack configs is
+``smd_tpu.codec.performance.MultiInstrumentPerformanceConverter``
+(performance-event streams with velocity bins, matching ``config.py:50-64``);
+that is what ``MUSIC_VAE_CONFIG`` and ``generate_song_data --mode=multi``
+use. This module remains as a deliberately simpler, denser representation:
+each bar as a fixed grid of per-instrument monophonic-track events — regular
+MXU-friendly tensors, no velocity, useful for quick experiments.
 
 Layout per bar: up to ``max_instruments`` tracks x 16 steps, each step a
 one-hot over the melody vocabulary (90) plus a per-track program id channel.

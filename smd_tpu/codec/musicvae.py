@@ -12,6 +12,7 @@ for pipeline testing.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -43,6 +44,23 @@ class MusicVAEConfig:
 
 MEL_2BAR_BIG = MusicVAEConfig()
 MEL_16BAR_HIERDEC = MusicVAEConfig(max_seq_len=256, hier_segments=16)
+
+# Shipped melody codec (scripts/train_musicvae.py on the synthetic melodic
+# corpus; 95.6% held-out round-trip accuracy — see docs/DESIGN.md). Loaded
+# automatically when a melody-shaped TrainedMusicVAE is constructed without
+# explicit params, replacing the reference's downloaded Google checkpoint
+# (reference config.py:17-19).
+DEFAULT_MELODY_ARTIFACT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "checkpoints", "musicvae-melody.pkl")
+
+
+def load_default_melody_params():
+    """The shipped melody codec bundle, or None when absent."""
+    if not os.path.exists(DEFAULT_MELODY_ARTIFACT):
+        return None
+    from smd_tpu.utils import io as io_lib
+    return io_lib.load(DEFAULT_MELODY_ARTIFACT)
 
 
 class Encoder(nn.Module):
@@ -264,11 +282,27 @@ class TrainedMusicVAE:
 
     def __init__(self, params=None, config: MusicVAEConfig = MEL_2BAR_BIG,
                  converter: Optional[MelodyConverter] = None, seed: int = 0):
-        # Accept the {"params", "config"} bundles written by
+        # Melody-shaped construction without params: use the shipped codec.
+        if params is None and config.depth == MEL_2BAR_BIG.depth and \
+                config.max_seq_len == MEL_2BAR_BIG.max_seq_len and \
+                config.hier_segments == 0:
+            params = load_default_melody_params()
+            if params is not None:
+                import logging
+                logging.getLogger(__name__).info(
+                    "Loaded shipped melody codec from %s",
+                    DEFAULT_MELODY_ARTIFACT)
+        # Accept the {"params", "config"[, "metrics"]} bundles written by
         # scripts/train_musicvae.py as well as bare param pytrees.
-        if isinstance(params, dict) and set(params) == {"params", "config"}:
+        if isinstance(params, dict) and {"params", "config"} <= set(params):
             config = params["config"]
             params = params["params"]
+        if params is not None:
+            # Half-precision artifacts are restored to fp32 for compute.
+            params = jax.tree_util.tree_map(
+                lambda p: jnp.asarray(p, jnp.float32)
+                if jnp.asarray(p).dtype == jnp.float16 else jnp.asarray(p),
+                params)
         self.config = config
         self.converter = converter or melody_2bar_converter
         self.model = MusicVAE(config)
