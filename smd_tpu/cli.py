@@ -179,18 +179,46 @@ def mesh_from_flags():
         mesh_lib.MeshConfig(data=n // model_axis, model=model_axis))
 
 
+def initialize_from_flags():
+    """Multi-host bring-up for the train/sample CLIs.
+
+    Starts the distributed runtime when the environment declares one (TPU
+    slice metadata or explicit JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES),
+    then returns (process_index, process_count). Idempotent on single host.
+    """
+    import jax
+    from absl import logging as absl_logging
+    from smd_tpu.parallel import mesh as mesh_lib
+    idx, count = mesh_lib.initialize_distributed()
+    if count > 1:
+        absl_logging.info("distributed: process %d/%d, %d local / %d global "
+                          "devices", idx, count, jax.local_device_count(),
+                          jax.device_count())
+    return idx, count
+
+
 def dataset_from_flags(include_cardinality=True, problem=None):
+    import jax
     from smd_tpu.data import pipeline
+    # --batch_size is the GLOBAL batch; each host loads a disjoint dataset
+    # shard and batches its slice of it (shard_batch assembles the global
+    # array from per-process data).
+    count = jax.process_count()
+    if FLAGS.batch_size % max(count, 1):
+        raise ValueError(f"batch_size {FLAGS.batch_size} must divide by "
+                         f"process_count {count}")
     return pipeline.get_dataset(
         dataset=FLAGS.dataset,
         data_shape=FLAGS.data_shape,
         problem=problem if problem is not None else FLAGS.problem,
-        batch_size=FLAGS.batch_size,
+        batch_size=FLAGS.batch_size // max(count, 1),
         normalize=FLAGS.normalize,
         pca_ckpt=FLAGS.pca_ckpt,
         slice_ckpt=FLAGS.slice_ckpt,
         dim_weights_ckpt=FLAGS.dim_weights_ckpt,
-        include_cardinality=include_cardinality)
+        include_cardinality=include_cardinality,
+        shard_index=jax.process_index(),
+        shard_count=count)
 
 
 def load_transforms_from_flags():

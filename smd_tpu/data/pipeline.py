@@ -113,6 +113,27 @@ def _compute_cardinality(ds, split, cache_dir, config):
     return n
 
 
+def _sklearn_digits_as_mnist():
+    """sklearn's bundled 1797 8x8 digits upscaled to MNIST's 28x28 uint8.
+
+    The offline stand-in for tfds MNIST (reference input_pipeline.py:122-124)
+    when no $MNIST_NPZ file is provided: real handwritten-digit images with
+    the same tensor contract (N, 28, 28) uint8 0..255.
+    """
+    try:
+        from sklearn.datasets import load_digits
+    except ImportError as e:   # pragma: no cover
+        raise RuntimeError(
+            "MNIST problem needs $MNIST_NPZ (x_train/x_test arrays) or "
+            "scikit-learn's bundled digits") from e
+    images = load_digits().images.astype(np.float32)   # (1797, 8, 8), 0..16
+    images = np.kron(images, np.ones((1, 3, 3), np.float32))   # -> 24x24
+    images = np.pad(images, ((0, 0), (2, 2), (2, 2)))
+    images = np.clip(images * (255.0 / 16.0), 0, 255).astype(np.uint8)
+    n_eval = len(images) // 10
+    return images[n_eval:], images[:n_eval]
+
+
 def get_dataset(dataset="",
                 data_shape=(2,),
                 problem="vae",
@@ -138,13 +159,14 @@ def get_dataset(dataset="",
         # tensorflow_datasets is not in this image; accept a local npz with
         # x_train/x_test arrays (the keras mnist.npz layout) via $MNIST_NPZ,
         # matching the reference's tfds.load('mnist') capability offline.
+        # Fallback: sklearn's bundled 8x8 digits, nearest-upscaled to 28x28,
+        # so --problem=mnist runs on real digit images out of the box.
         npz_path = os.environ.get("MNIST_NPZ", "")
-        if not npz_path or not os.path.exists(npz_path):
-            raise RuntimeError(
-                "MNIST problem requires a local dataset: set MNIST_NPZ to a "
-                "npz file with x_train/x_test arrays")
-        with np.load(npz_path) as d:
-            x_train, x_test = d["x_train"], d["x_test"]
+        if npz_path and os.path.exists(npz_path):
+            with np.load(npz_path) as d:
+                x_train, x_test = d["x_train"], d["x_test"]
+        else:
+            x_train, x_test = _sklearn_digits_as_mnist()
         train_ds = tf.data.Dataset.from_tensor_slices(
             {"image": x_train}).shuffle(10000)
         eval_ds = tf.data.Dataset.from_tensor_slices({"image": x_test})

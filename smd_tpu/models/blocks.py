@@ -108,6 +108,58 @@ class DenseResBlock(nn.Module):
         return x + shortcut
 
 
+class FusedDenseResBlock(nn.Module):
+    """DenseResBlock with each half fused into one Pallas VMEM program.
+
+    Serving layout: flat params (ln1_scale/ln1_bias/w1/b1, ln2_*/w2/b2) so
+    the LN + FiLM affine fold into a single per-item (scale, shift) pair and
+    the whole LN->affine->swish->matmul half never touches HBM between ops
+    (``ops/fused_film_resblock.py``). Convert trained DenseResBlock params
+    with ``models.fuse.fuse_head_params``. Mathematically identical to
+    ``DenseResBlock``; requires input width == output_size (the head case).
+    """
+    output_size: int
+    dtype: "jnp.dtype" = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs, scale, shift):
+        import jax
+
+        from smd_tpu.ops import fused_film_resblock as ffr
+
+        K = inputs.shape[-1]
+        N = self.output_size
+        assert K == N, "fused resblock requires matching widths (no shortcut)"
+        init_k = nn.initializers.lecun_normal()
+        w1 = self.param("w1", init_k, (K, N))
+        b1 = self.param("b1", nn.initializers.zeros, (N,))
+        ln1_s = self.param("ln1_scale", nn.initializers.ones, (K,))
+        ln1_b = self.param("ln1_bias", nn.initializers.zeros, (K,))
+        w2 = self.param("w2", init_k, (N, N))
+        b2 = self.param("b2", nn.initializers.zeros, (N,))
+        ln2_s = self.param("ln2_scale", nn.initializers.ones, (N,))
+        ln2_b = self.param("ln2_bias", nn.initializers.zeros, (N,))
+
+        scale = jnp.asarray(scale, jnp.float32)
+        shift = jnp.asarray(shift, jnp.float32)
+        # Fold LN's learned affine into the FiLM affine:
+        # (z*ls + lb)*s + sh == z*(ls*s) + (lb*s + sh).
+        s1 = ln1_s.astype(jnp.float32) * scale
+        h1 = ln1_b.astype(jnp.float32) * scale + shift
+        s2 = ln2_s.astype(jnp.float32) * scale
+        h2 = ln2_b.astype(jnp.float32) * scale + shift
+
+        B, S, _ = inputs.shape
+        w1c, w2c = w1.astype(self.dtype), w2.astype(self.dtype)
+        if jax.default_backend() != "cpu" and \
+                ffr.supported(B, S, K, jnp.dtype(self.dtype).itemsize):
+            u = ffr.fused_ln_film_swish_dense(inputs, s1, h1, w1c, b1)
+            return ffr.fused_ln_film_swish_dense(u, s2, h2, w2c, b2,
+                                                 residual=inputs)
+        u = ffr._reference(inputs, s1, h1, w1c, b1)
+        return ffr._reference(u, s2, h2, w2c, b2, residual=inputs)
+
+
 class MDN(nn.Module):
     """Mixture-density output head: unnormalized (pi, mu, log_sigma)."""
     out_channels: int = 512

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from smd_tpu.models.attention import MultiHeadSelfAttention
 from smd_tpu.models.blocks import (DenseFiLM, DenseResBlock,
-                                   positional_encoding)
+                                   FusedDenseResBlock, positional_encoding)
 
 __all__ = [
     "TransformerDDPM", "TransformerDDPM4", "DenseDDPM", "DenseNCSN",
@@ -189,6 +189,7 @@ class TransformerDDPM(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     fused_attention: bool = False
+    fused_head: bool = False
 
     @nn.compact
     def __call__(self, inputs, t):
@@ -205,12 +206,14 @@ class TransformerDDPM(nn.Module):
 
         x = nn.LayerNorm(dtype=self.dtype)(x)
         x = nn.Dense(self.mlp_dims, dtype=self.dtype)(x)
+        resblock_cls = FusedDenseResBlock if self.fused_head \
+            else DenseResBlock
         for _ in range(self.num_mlp_layers):
             scale, shift = DenseFiLM(embedding_channels=128,
                                      out_channels=self.mlp_dims,
                                      sequence=True, dtype=self.dtype)(t)
-            x = DenseResBlock(self.mlp_dims, dtype=self.dtype)(x, scale,
-                                                               shift)
+            x = resblock_cls(self.mlp_dims, dtype=self.dtype)(x, scale,
+                                                              shift)
 
         x = nn.LayerNorm(dtype=self.dtype)(x)
         # fp32 output head for a stable objective

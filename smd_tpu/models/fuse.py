@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["fuse_attention_params"]
+__all__ = ["fuse_attention_params", "fuse_head_params"]
 
 
 def _fuse_layer(layer):
@@ -59,4 +59,43 @@ def fuse_attention_params(params):
 
     if "params" in params:
         return {"params": rec(params["params"])}
+    return rec(params)
+
+
+def _fuse_resblock(block):
+    """DenseResBlock params -> FusedDenseResBlock flat layout (pure rename)."""
+    return {
+        "ln1_scale": np.asarray(block["LayerNorm_0"]["scale"]),
+        "ln1_bias": np.asarray(block["LayerNorm_0"]["bias"]),
+        "w1": np.asarray(block["Dense_0"]["kernel"]),
+        "b1": np.asarray(block["Dense_0"]["bias"]),
+        "ln2_scale": np.asarray(block["LayerNorm_1"]["scale"]),
+        "ln2_bias": np.asarray(block["LayerNorm_1"]["bias"]),
+        "w2": np.asarray(block["Dense_1"]["kernel"]),
+        "b2": np.asarray(block["Dense_1"]["bias"]),
+    }
+
+
+def fuse_head_params(params):
+    """Rewrite DenseResBlock_k subtrees into FusedDenseResBlock_k.
+
+    Loadable by the same architecture with ``fused_head=True``. Shortcut
+    projections (Dense_2) never occur in the head (width is constant).
+    """
+    def rec(node):
+        out = {}
+        for k, v in node.items():
+            if k.startswith("DenseResBlock_"):
+                assert "Dense_2" not in v, "fused head has no shortcut proj"
+                idx = k.split("_")[-1]
+                out[f"FusedDenseResBlock_{idx}"] = _fuse_resblock(v)
+            elif isinstance(v, dict):
+                out[k] = rec(v)
+            else:
+                out[k] = v
+        return out
+
+    if "params" in params:
+        return {"params": rec(params["params"]),
+                **{k: v for k, v in params.items() if k != "params"}}
     return rec(params)

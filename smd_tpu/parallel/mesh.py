@@ -37,10 +37,20 @@ def initialize_distributed():
     coordinator from the TPU environment automatically; on a single host it
     is a no-op. This (plus the mesh) *is* the TPU-native communication
     backend — XLA emits the ICI/DCN collectives (SURVEY.md §5).
+
+    Explicit ``JAX_COORDINATOR_ADDRESS`` + ``JAX_NUM_PROCESSES`` (+
+    ``JAX_PROCESS_ID``) env vars start the distributed runtime on any
+    backend — the 2-process CPU test in ``tests/test_multihost.py`` uses
+    this to validate the full multi-host path without a TPU slice.
     """
     import os
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or \
-            int(os.environ.get("TPU_WORKER_COUNT", "1")) > 1:
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    if coord and nproc:
+        jax.distributed.initialize(
+            coordinator_address=coord, num_processes=int(nproc),
+            process_id=int(os.environ.get("JAX_PROCESS_ID", "0")))
+    elif int(os.environ.get("TPU_WORKER_COUNT", "1")) > 1:
         jax.distributed.initialize()
     return jax.process_index(), jax.process_count()
 
@@ -128,6 +138,19 @@ def shard_params(params, mesh: Mesh):
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a host batch with the leading axis sharded over 'data'."""
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, batch_sharding(mesh, x.ndim)), batch)
+    """Device-put a host batch with the leading axis sharded over 'data'.
+
+    Single process: a plain sharded device_put. Multi-process: each host
+    holds ``global_batch / process_count`` rows (the per-host dataset shard,
+    ``data/pipeline.py``) and the global array is assembled from the
+    process-local data — the standard JAX multi-host input pattern.
+    """
+    def put(x):
+        sharding = batch_sharding(mesh, x.ndim)
+        if jax.process_count() > 1:
+            global_shape = (x.shape[0] * jax.process_count(), *x.shape[1:])
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x), global_shape)
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, batch)

@@ -88,12 +88,14 @@ def run_loop(state,
     early_stop = EarlyStopping(patience=1)
     manager = train_writer = eval_writer = None
     if model_dir is not None:
+        # Orbax save/restore are collectives: every process participates.
         manager = ckpt_lib.CheckpointManager(f"{model_dir}/ckpt",
                                              keep=config.checkpoints_to_keep)
         if config.resume and manager.latest_step is not None:
             state = manager.restore_latest(state)
-        train_writer = log_lib.SummaryWriter(f"{model_dir}/train")
-        eval_writer = log_lib.SummaryWriter(f"{model_dir}/eval")
+        if jax.process_index() == 0:   # TB logs are host-0-only
+            train_writer = log_lib.SummaryWriter(f"{model_dir}/train")
+            eval_writer = log_lib.SummaryWriter(f"{model_dir}/eval")
 
     global_step = int(state.step)
     sampling_step = -1

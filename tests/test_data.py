@@ -142,3 +142,18 @@ def test_compute_dataset_statistics(tmp_path, np_rng):
     mean2, _ = pipeline.compute_dataset_statistics(ds,
                                                    cache_dir=str(tmp_path))
     np.testing.assert_allclose(mean, mean2)
+
+
+def test_mnist_problem_offline_fallback(monkeypatch):
+    """--problem=mnist runs on sklearn's bundled digits when no $MNIST_NPZ."""
+    import numpy as np
+    from smd_tpu.data import pipeline
+    monkeypatch.delenv("MNIST_NPZ", raising=False)
+    train, _ = pipeline.get_dataset(problem="mnist", data_shape=(28, 28, 1),
+                                    batch_size=16,
+                                    include_cardinality=False)
+    batch = next(iter(train))
+    batch = np.asarray(batch)
+    assert batch.shape == (16, 28 * 28)
+    assert batch.min() >= -1.0 and batch.max() <= 1.0
+    assert batch.max() > 0.5   # actual bright digit pixels

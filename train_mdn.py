@@ -23,6 +23,7 @@ def main(argv):
 
     from smd_tpu.training import mdn as trainer
 
+    cli.initialize_from_flags()
     # The reference's MDN entry point always trains on the 'vae' problem
     # (``train_mdn.py:333-341``).
     train_ds, eval_ds = cli.dataset_from_flags(problem="vae")

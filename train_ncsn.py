@@ -106,6 +106,7 @@ def main(argv):
     from smd_tpu.training import diffusion as trainer
     from smd_tpu.utils.logging import SummaryWriter
 
+    process_index, _ = cli.initialize_from_flags()
     train_ds, eval_ds = cli.dataset_from_flags()
     sigmas = cli.schedule_from_flags()
     model = cli.model_from_flags()
@@ -116,7 +117,7 @@ def main(argv):
     input_shape = sample_batch.shape[1:]
 
     callback = None
-    if FLAGS.snapshot_sampling:
+    if FLAGS.snapshot_sampling and process_index == 0:
         writer = SummaryWriter(f"{FLAGS.model_dir}/eval")
         callback = snapshot_sampling_callback(model, sigmas, train_ds,
                                               eval_ds, writer,
