@@ -79,6 +79,20 @@ def main():
         jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params),
         x.astype(jnp.bfloat16), c.astype(jnp.bfloat16)).astype(jnp.float32)
 
+    # The exact production serving path bench.py runs: fused LN+attention
+    # Pallas layers + bf16 compute dtype, params converted with the pure
+    # reshape in models.fuse. Validates that serving-path FD matches the
+    # training-layout model.
+    from smd_tpu.models.fuse import fuse_attention_params
+    serve_model = get_model("TransformerDDPM", num_layers=6, num_heads=8,
+                            num_mlp_layers=2, mlp_dims=2048,
+                            fused_attention=True, dtype=jnp.bfloat16)
+    serve_params = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(p, jnp.bfloat16), fuse_attention_params(params))
+    serve_fn = lambda x, c: serve_model.apply(
+        serve_params, x.astype(jnp.bfloat16),
+        c.astype(jnp.bfloat16)).astype(jnp.float32)
+
     real = make_data(args.eval_n, np.random.default_rng(99))
     init = jax.random.normal(jax.random.PRNGKey(5), (args.eval_n, 32, 42))
 
@@ -92,6 +106,9 @@ def main():
             constants=consts).state),
         ("ddim_50", lambda k, x: samplers.ddim_dynamics(
             k, model_fn, betas, x, num_steps=50, constants=consts).state),
+        ("ancestral_T1000_serving", lambda k, x: samplers.diffusion_dynamics(
+            k, serve_fn, betas, x, collect_steps=0, collect_metrics=False,
+            constants=consts).state),
     ]:
         f = jax.jit(fn)
         f(jax.random.PRNGKey(6), init).block_until_ready()  # compile
