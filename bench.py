@@ -36,16 +36,18 @@ def main():
     n_chips = jax.device_count()
     mesh = mesh_lib.make_mesh() if n_chips > 1 else None
 
-    # Serving path: fused LN+attention Pallas layers (21% faster step than
-    # the standard layout) + bf16 compute dtype (elementwise chain + LN in
-    # bf16; matmuls were already single-pass bf16 under the default TPU
-    # precision). fused_head is a measured NEGATIVE result at these shapes
-    # (docs/DESIGN.md): the head is FLOP-bound at ~70% MXU under XLA, and the
-    # Pallas version serializes its fp32 VPU chain against the MXU.
-    fused_head = os.environ.get("BENCH_FUSED_HEAD", "0") == "1"
-    model = get_model("TransformerDDPM", num_layers=6, num_heads=8,
-                      num_mlp_layers=2, mlp_dims=2048, fused_attention=True,
-                      fused_head=fused_head, dtype=jnp.bfloat16)
+    # Serving path: standard einsum layout at dtype=bfloat16. Measured
+    # fastest (docs/DESIGN.md, profiled at ~84% MXU): at bf16 XLA fuses the
+    # whole step into matmul fusions, and both Pallas alternatives (fused
+    # LN+attention kernel, int8 w8a8 head) as well as the fused FiLM head
+    # are documented negative results at these shapes. Env toggles keep the
+    # alternatives measurable: BENCH_FUSED_ATTN=1, BENCH_FUSED_HEAD=1.
+    model = get_model(
+        "TransformerDDPM", num_layers=6, num_heads=8,
+        num_mlp_layers=2, mlp_dims=2048,
+        fused_attention=os.environ.get("BENCH_FUSED_ATTN", "0") == "1",
+        fused_head=os.environ.get("BENCH_FUSED_HEAD", "0") == "1",
+        dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     x0 = jnp.ones((8, SEQ_LEN, CHANNELS), jnp.float32)
     t0 = jnp.full((8, 1, 1), 0.5, jnp.float32)

@@ -79,22 +79,41 @@ def main():
         jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params),
         x.astype(jnp.bfloat16), c.astype(jnp.bfloat16)).astype(jnp.float32)
 
-    # The exact production serving path bench.py runs: fused LN+attention
-    # Pallas layers + bf16 compute dtype, params converted with the pure
-    # reshape in models.fuse. Validates that serving-path FD matches the
-    # training-layout model.
-    from smd_tpu.models.fuse import fuse_attention_params
+    # The exact production serving path bench.py runs: the standard einsum
+    # layout at dtype=bfloat16 (measured fastest; see docs/DESIGN.md).
+    # Validates that serving-path FD matches the training-layout model.
     serve_model = get_model("TransformerDDPM", num_layers=6, num_heads=8,
                             num_mlp_layers=2, mlp_dims=2048,
-                            fused_attention=True, dtype=jnp.bfloat16)
+                            dtype=jnp.bfloat16)
     serve_params = jax.tree_util.tree_map(
-        lambda p: jnp.asarray(p, jnp.bfloat16), fuse_attention_params(params))
+        lambda p: jnp.asarray(p, jnp.bfloat16), params)
     serve_fn = lambda x, c: serve_model.apply(
         serve_params, x.astype(jnp.bfloat16),
         c.astype(jnp.bfloat16)).astype(jnp.float32)
 
     real = make_data(args.eval_n, np.random.default_rng(99))
     init = jax.random.normal(jax.random.PRNGKey(5), (args.eval_n, 32, 42))
+
+    # int8 w8a8 quantized head (opt-in serving mode): calibrate static
+    # activation scales on states spanning the noise schedule, then report
+    # its FD so quantization quality is validated end-to-end.
+    from smd_tpu.models.fuse import (calibrate_head_act_scales,
+                                     quantize_head_params)
+    quant_model = get_model("TransformerDDPM", num_layers=6, num_heads=8,
+                            num_mlp_layers=2, mlp_dims=2048,
+                            quantized_head=True, dtype=jnp.bfloat16)
+    q_params = quantize_head_params(params)
+    cal_x = jax.random.normal(jax.random.PRNGKey(11), (64, 32, 42))
+    cal = [(cal_x * (1.0 - a) + jnp.asarray(real[:64]) * a,
+            jnp.full((64, 1, 1), t))
+           for a, t in ((0.0, 0.99), (0.5, 0.5), (0.9, 0.1), (1.0, 0.02))]
+    q_params = calibrate_head_act_scales(quant_model, q_params, cal)
+    q_params = jax.tree_util.tree_map(
+        lambda p: p if p.dtype == jnp.int8 else jnp.asarray(p, jnp.bfloat16),
+        q_params)
+    quant_fn = lambda x, c: quant_model.apply(
+        q_params, x.astype(jnp.bfloat16),
+        c.astype(jnp.bfloat16)).astype(jnp.float32)
 
     results = {"train_steps": args.steps,
                "train_steps_per_sec": round(args.steps / train_time, 2),
@@ -108,6 +127,9 @@ def main():
             k, model_fn, betas, x, num_steps=50, constants=consts).state),
         ("ancestral_T1000_serving", lambda k, x: samplers.diffusion_dynamics(
             k, serve_fn, betas, x, collect_steps=0, collect_metrics=False,
+            constants=consts).state),
+        ("ancestral_T1000_int8head", lambda k, x: samplers.diffusion_dynamics(
+            k, quant_fn, betas, x, collect_steps=0, collect_metrics=False,
             constants=consts).state),
     ]:
         f = jax.jit(fn)

@@ -160,6 +160,60 @@ class FusedDenseResBlock(nn.Module):
         return ffr._reference(u, s2, h2, w2c, b2, residual=inputs)
 
 
+class QuantDenseResBlock(nn.Module):
+    """DenseResBlock with both matmuls on the int8 MXU path (serving only).
+
+    Same math as ``DenseResBlock`` with weights in symmetric per-channel
+    int8 (``ops/quant.py``). Activation quantization is static-scale by
+    default (``static_act=True``): a per-matmul scalar scale calibrated with
+    ``models.fuse.calibrate_head_act_scales`` — dynamic per-row scales
+    measured *slower* than bf16 in the full model (the row amax breaks
+    XLA's fusion of quantization into the matmul operand load; see
+    ``ops/quant.py``). Convert trained params with
+    ``models.fuse.quantize_head_params``. Requires input width ==
+    output_size (the head case, no shortcut proj).
+    """
+    output_size: int
+    dtype: "jnp.dtype" = jnp.float32
+    static_act: bool = True
+
+    @nn.compact
+    def __call__(self, inputs, scale=1.0, shift=0.0):
+        from smd_tpu.ops.quant import int8_dense
+
+        K = inputs.shape[-1]
+        N = self.output_size
+        assert K == N, "quantized resblock requires matching widths"
+        int8_init = lambda key, shape: jnp.zeros(shape, jnp.int8)
+        w1_q = self.param("w1_q", int8_init, (K, N))
+        w1_s = self.param("w1_scale", nn.initializers.ones, (N,))
+        b1 = self.param("b1", nn.initializers.zeros, (N,))
+        a1_s = self.param("a1_scale", nn.initializers.ones, ())
+        w2_q = self.param("w2_q", int8_init, (N, N))
+        w2_s = self.param("w2_scale", nn.initializers.ones, (N,))
+        b2 = self.param("b2", nn.initializers.zeros, (N,))
+        a2_s = self.param("a2_scale", nn.initializers.ones, ())
+        observe = self.is_mutable_collection("intermediates")
+
+        x = nn.LayerNorm(dtype=self.dtype)(inputs)
+        x = featurewise_affine(x, scale, shift)
+        x = nn.swish(x)
+        if observe:
+            self.sow("intermediates", "a1_amax", jnp.max(jnp.abs(
+                x.astype(jnp.float32))))
+        x = int8_dense(x, w1_q, w1_s, b1,
+                       a1_s if self.static_act else None).astype(self.dtype)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = featurewise_affine(x, scale, shift)
+        x = nn.swish(x)
+        if observe:
+            self.sow("intermediates", "a2_amax", jnp.max(jnp.abs(
+                x.astype(jnp.float32))))
+        x = int8_dense(x, w2_q, w2_s, b2,
+                       a2_s if self.static_act else None).astype(self.dtype)
+        return x + inputs
+
+
 class MDN(nn.Module):
     """Mixture-density output head: unnormalized (pi, mu, log_sigma)."""
     out_channels: int = 512

@@ -20,7 +20,8 @@ import jax.numpy as jnp
 
 from smd_tpu.models.attention import MultiHeadSelfAttention
 from smd_tpu.models.blocks import (DenseFiLM, DenseResBlock,
-                                   FusedDenseResBlock, positional_encoding)
+                                   FusedDenseResBlock, QuantDenseResBlock,
+                                   positional_encoding)
 
 __all__ = [
     "TransformerDDPM", "TransformerDDPM4", "DenseDDPM", "DenseNCSN",
@@ -190,6 +191,7 @@ class TransformerDDPM(nn.Module):
     remat: bool = False
     fused_attention: bool = False
     fused_head: bool = False
+    quantized_head: bool = False
 
     @nn.compact
     def __call__(self, inputs, t):
@@ -206,8 +208,12 @@ class TransformerDDPM(nn.Module):
 
         x = nn.LayerNorm(dtype=self.dtype)(x)
         x = nn.Dense(self.mlp_dims, dtype=self.dtype)(x)
-        resblock_cls = FusedDenseResBlock if self.fused_head \
-            else DenseResBlock
+        assert not (self.fused_head and self.quantized_head)
+        resblock_cls = DenseResBlock
+        if self.fused_head:
+            resblock_cls = FusedDenseResBlock
+        elif self.quantized_head:
+            resblock_cls = QuantDenseResBlock
         for _ in range(self.num_mlp_layers):
             scale, shift = DenseFiLM(embedding_channels=128,
                                      out_channels=self.mlp_dims,

@@ -16,7 +16,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["fuse_attention_params", "fuse_head_params"]
+__all__ = ["fuse_attention_params", "fuse_head_params",
+           "quantize_head_params", "calibrate_head_act_scales"]
 
 
 def _fuse_layer(layer):
@@ -99,3 +100,96 @@ def fuse_head_params(params):
         return {"params": rec(params["params"]),
                 **{k: v for k, v in params.items() if k != "params"}}
     return rec(params)
+
+
+def _quantize_resblock(block):
+    """DenseResBlock params -> QuantDenseResBlock int8 layout."""
+    from smd_tpu.ops.quant import quantize_weight
+
+    w1_q, w1_s = quantize_weight(np.asarray(block["Dense_0"]["kernel"]))
+    w2_q, w2_s = quantize_weight(np.asarray(block["Dense_1"]["kernel"]))
+    return {
+        "LayerNorm_0": dict(block["LayerNorm_0"]),
+        "LayerNorm_1": dict(block["LayerNorm_1"]),
+        "w1_q": np.asarray(w1_q), "w1_scale": np.asarray(w1_s),
+        "b1": np.asarray(block["Dense_0"]["bias"]),
+        "a1_scale": np.asarray(1.0, np.float32),
+        "w2_q": np.asarray(w2_q), "w2_scale": np.asarray(w2_s),
+        "b2": np.asarray(block["Dense_1"]["bias"]),
+        "a2_scale": np.asarray(1.0, np.float32),
+    }
+
+
+def quantize_head_params(params):
+    """Rewrite DenseResBlock_k subtrees into int8 QuantDenseResBlock_k.
+
+    Loadable by the same architecture with ``quantized_head=True``. The int8
+    leaves must NOT be cast afterwards (keep the tree's dtypes as returned).
+    Activation scales default to 1.0 — calibrate them on representative
+    inputs with ``calibrate_head_act_scales`` before static-scale serving.
+    """
+    def rec(node):
+        out = {}
+        for k, v in node.items():
+            if k.startswith("DenseResBlock_"):
+                assert "Dense_2" not in v, "quantized head has no shortcut"
+                idx = k.split("_")[-1]
+                out[f"QuantDenseResBlock_{idx}"] = _quantize_resblock(v)
+            elif isinstance(v, dict):
+                out[k] = rec(v)
+            else:
+                out[k] = v
+        return out
+
+    if "params" in params:
+        return {"params": rec(params["params"]),
+                **{k: v for k, v in params.items() if k != "params"}}
+    return rec(params)
+
+
+def calibrate_head_act_scales(model, params, batches, margin=1.0):
+    """Calibrate static int8 activation scales for the quantized head.
+
+    model: the architecture with ``quantized_head=True``; params: the tree
+    from ``quantize_head_params``; batches: iterable of (x, t) calibration
+    inputs — for a diffusion sampler, states + noise levels spanning the
+    sampling trajectory (see ``benchmarks/flagship_e2e.py``). Runs the model
+    with the ``intermediates`` collection mutable so each QuantDenseResBlock
+    sows the amax of its pre-matmul activations, maxes the observations over
+    batches, and returns a params tree with ``a{1,2}_scale = margin * amax
+    / 127`` baked in.
+    """
+    import jax
+
+    amax = {}
+    for x, t in batches:
+        _, mut = model.apply(params, x, t, mutable=["intermediates"])
+
+        def walk(node, path):
+            for k, v in node.items():
+                if isinstance(v, dict):
+                    walk(v, path + (k,))
+                else:  # sow stores a tuple of observations per call site
+                    cur = max(float(o) for o in v)
+                    key = path + (k,)
+                    amax[key] = max(amax.get(key, 0.0), cur)
+        walk(mut["intermediates"], ())
+
+    out = jax.tree_util.tree_map(lambda p: p, params)  # shallow-safe copy
+
+    def set_path(tree, path, value):
+        node = tree
+        for k in path[:-1]:
+            node[k] = dict(node[k])
+            node = node[k]
+        node[path[-1]] = np.asarray(value, np.float32)
+
+    out = {k: (dict(v) if isinstance(v, dict) else v) for k, v in out.items()}
+    # sow paths are relative to the module root; params trees carry the
+    # top-level "params" collection key.
+    base = ("params",) if "params" in out else ()
+    for key, m in amax.items():
+        scale_name = {"a1_amax": "a1_scale", "a2_amax": "a2_scale"}[key[-1]]
+        set_path(out, base + key[:-1] + (scale_name,),
+                 max(margin * m / 127.0, 1e-12))
+    return out
