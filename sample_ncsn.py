@@ -117,7 +117,8 @@ def main(argv):
 
     model, state = cli.restore_state_for_sampling(shape)
     params = state.sampling_params if FLAGS.ema else state.params
-    model_fn = lambda x, cond: model.apply(params, x, cond)
+    # --sampling_dtype=bfloat16 (default) serves the measured-fastest path.
+    model_fn = cli.serving_model_fn(params)
     sigmas = cli.schedule_from_flags()
     rng = jax.random.PRNGKey(FLAGS.sample_seed)
 

@@ -36,8 +36,13 @@ flags.DEFINE_integer("checkpoint_seed", 0,
 flags.DEFINE_string("vae_params", "",
                     "Optional pickled MusicVAE params to load.")
 flags.DEFINE_integer("max_songs", None, "Maximum number of songs.")
-flags.DEFINE_integer("encode_batch", 256,
-                     "Chunks per accelerator encode batch.")
+flags.DEFINE_integer("encode_batch", 1024,
+                     "Chunks per accelerator encode batch. Larger batches "
+                     "amortize LSTM weight loads: measured 60k chunks/s at "
+                     "1024 vs 38k at 256 (docs/DESIGN.md).")
+flags.DEFINE_enum("codec_dtype", "bfloat16", ["float32", "bfloat16"],
+                  "MusicVAE compute dtype on accelerators (+5-13% encode "
+                  "throughput, round-trip accuracy unchanged).")
 flags.DEFINE_integer("workers", None, "MIDI parser processes.")
 flags.DEFINE_float("max_song_seconds", 3600.0,
                    "Skip songs longer than this (ref :61).")
@@ -92,15 +97,22 @@ def main(argv):
         files = files[:FLAGS.max_songs]
     logging.info("Encoding %d MIDI files", len(files))
 
+    import jax
+    import jax.numpy as jnp
+    codec_dtype = jnp.bfloat16 if (FLAGS.codec_dtype == "bfloat16" and
+                                   jax.default_backend() != "cpu") \
+        else jnp.float32
     params = io_lib.load(FLAGS.vae_params) if FLAGS.vae_params else None
     if FLAGS.mode == "multi":
         from smd_tpu.config import MUSIC_VAE_CONFIG
         entry = MUSIC_VAE_CONFIG["multi-1-big"]
         model = TrainedMusicVAE(params=params, config=entry.model,
                                 converter=entry.data_converter,
-                                seed=FLAGS.checkpoint_seed)
+                                seed=FLAGS.checkpoint_seed,
+                                compute_dtype=codec_dtype)
     else:
-        model = TrainedMusicVAE(params=params, seed=FLAGS.checkpoint_seed)
+        model = TrainedMusicVAE(params=params, seed=FLAGS.checkpoint_seed,
+                                compute_dtype=codec_dtype)
 
     os.makedirs(FLAGS.output, exist_ok=True)
     n_eval = max(1, int(len(files) * FLAGS.eval_fraction)) \

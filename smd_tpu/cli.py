@@ -111,6 +111,11 @@ def define_diffusion_flags():
 def define_sampling_flags():
     flags.DEFINE_integer("sample_seed", 1,
                          "Random number generator seed for sampling.")
+    flags.DEFINE_enum("sampling_dtype", "bfloat16", ["float32", "bfloat16"],
+                      "Compute dtype for the sampling forward pass. bfloat16 "
+                      "is the measured-fastest serving path (~84% MXU) and "
+                      "is FD-indistinguishable from float32 on a trained "
+                      "flagship (docs/DESIGN.md).")
     flags.DEFINE_string("sampling_dir", "samples", "Sampling directory.")
     flags.DEFINE_integer("sample_size", 1000, "Number of samples.")
     flags.DEFINE_boolean("compute_metrics", False,
@@ -150,16 +155,42 @@ def train_config_from_flags(mdn: bool = False) -> TrainConfig:
     return cfg
 
 
-def model_from_flags(mdn: bool = False):
+def model_from_flags(mdn: bool = False, dtype=None):
     import jax.numpy as jnp
     kwargs = dict(num_layers=FLAGS.num_layers, num_heads=FLAGS.num_heads,
                   num_mlp_layers=FLAGS.num_mlp_layers,
                   mlp_dims=FLAGS.mlp_dims, remat=FLAGS.remat)
     if FLAGS.mixed_precision:
         kwargs["dtype"] = jnp.bfloat16
+    if dtype is not None:
+        kwargs["dtype"] = dtype
     if mdn:
         kwargs["mdn_mixtures"] = FLAGS.mdn_components
     return get_model(FLAGS.architecture, **kwargs)
+
+
+def serving_model_fn(params, mdn: bool = False):
+    """(x, cond) -> fp32 output closure honoring ``--sampling_dtype``.
+
+    At bfloat16 (the default) this is the measured-fastest serving path
+    (docs/DESIGN.md): the flag-built architecture at compute dtype bf16 with
+    params cast to bf16, fp32 in/out at the boundary.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    # bf16 is the fast path on accelerators only — the CPU backend emulates
+    # it far slower than fp32, so flag-driven CPU runs keep fp32.
+    if getattr(FLAGS, "sampling_dtype", "float32") == "bfloat16" \
+            and jax.default_backend() != "cpu":
+        model = model_from_flags(mdn=mdn, dtype=jnp.bfloat16)
+        bf_params = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(p, jnp.bfloat16), params)
+        return lambda x, cond: model.apply(
+            bf_params, x.astype(jnp.bfloat16),
+            cond.astype(jnp.bfloat16)).astype(jnp.float32)
+    model = model_from_flags(mdn=mdn)
+    return lambda x, cond: model.apply(params, x, cond)
 
 
 def schedule_from_flags():

@@ -40,6 +40,23 @@ class MusicVAEConfig:
     # the core decoder. 0 = flat decoding.
     hier_segments: int = 0
     conductor_units: int = 1024
+    # magenta's hierdec-mel_16bar conductor is a 2-layer [1024, 1024] LSTM
+    # (reference uses that pretrained bundle via config.py:41-48).
+    conductor_layers: int = 2
+
+
+def _conductor_layers(cfg) -> int:
+    """Conductor depth; tolerates configs pickled before the field existed."""
+    return getattr(cfg, "conductor_layers", 1)
+
+
+def normalize_config(cfg) -> MusicVAEConfig:
+    """Re-instantiate a (possibly old, pickled) config with current fields."""
+    fields = {f.name for f in dataclasses.fields(MusicVAEConfig)}
+    kwargs = {k: v for k, v in vars(cfg).items() if k in fields}
+    # Configs pickled before conductor_layers existed were 1-layer.
+    kwargs.setdefault("conductor_layers", 1)
+    return MusicVAEConfig(**kwargs)
 
 
 MEL_2BAR_BIG = MusicVAEConfig()
@@ -64,19 +81,27 @@ def load_default_melody_params():
 
 
 class Encoder(nn.Module):
-    """Bidirectional LSTM encoder -> (mu, sigma)."""
+    """Bidirectional LSTM encoder -> (mu, sigma).
+
+    ``dtype`` is the compute dtype (params stay fp32): bf16 keeps every
+    (B, in+units) @ (in+units, 4*units) gate matmul on the fast MXU path
+    and halves activation traffic. The latent head stays fp32.
+    """
     config: MusicVAEConfig
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         cfg = self.config
-        fwd = nn.RNN(nn.OptimizedLSTMCell(cfg.enc_units), return_carry=True,
-                     name="fwd")
-        bwd = nn.RNN(nn.OptimizedLSTMCell(cfg.enc_units), return_carry=True,
-                     reverse=True, name="bwd")
+        x = x.astype(self.dtype)
+        fwd = nn.RNN(nn.OptimizedLSTMCell(cfg.enc_units, dtype=self.dtype),
+                     return_carry=True, name="fwd")
+        bwd = nn.RNN(nn.OptimizedLSTMCell(cfg.enc_units, dtype=self.dtype),
+                     return_carry=True, reverse=True, name="bwd")
         carry_f, _ = fwd(x)
         carry_b, _ = bwd(x)
-        h = jnp.concatenate([carry_f[1], carry_b[1]], axis=-1)
+        h = jnp.concatenate([carry_f[1], carry_b[1]],
+                            axis=-1).astype(jnp.float32)
         mu = nn.Dense(cfg.latent_dims, name="mu")(h)
         sigma = nn.softplus(nn.Dense(cfg.latent_dims, name="sigma")(h))
         return mu, sigma
@@ -93,17 +118,20 @@ class DecoderCell(nn.Module):
     callers can jit over it as a traced value.
     """
     config: MusicVAEConfig
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, carry, x_t):
         cfg = self.config
         carries, token, z, rng, temp = carry
-        x = jnp.concatenate([token, z], axis=-1)
+        x = jnp.concatenate([token, z], axis=-1).astype(self.dtype)
         new_carries = []
         for i, u in enumerate(cfg.dec_units):
-            c, x = nn.OptimizedLSTMCell(u, name=f"lstm_{i}")(carries[i], x)
+            c, x = nn.OptimizedLSTMCell(u, dtype=self.dtype,
+                                        name=f"lstm_{i}")(carries[i], x)
             new_carries.append(c)
-        logits = nn.Dense(cfg.depth, name="logits")(x)
+        # fp32 logits: categorical sampling + NLL want full precision.
+        logits = nn.Dense(cfg.depth, name="logits")(x.astype(jnp.float32))
         if x_t.shape[-1]:   # teacher forcing (static: shape-determined)
             new_token = x_t
             idx = jnp.zeros((logits.shape[0],), jnp.int32)
@@ -111,7 +139,7 @@ class DecoderCell(nn.Module):
             rng, step_rng = jax.random.split(rng)
             idx = jax.random.categorical(
                 step_rng, logits / jnp.maximum(temp, 1e-6))
-            new_token = jax.nn.one_hot(idx, cfg.depth, dtype=z.dtype)
+            new_token = jax.nn.one_hot(idx, cfg.depth, dtype=x.dtype)
         return (tuple(new_carries), new_token, z, rng, temp), (logits, idx)
 
 
@@ -125,6 +153,7 @@ class Decoder(nn.Module):
     reference's TF1 dynamic_decode analogue, ``song_utils.py:177-203``).
     """
     config: MusicVAEConfig
+    dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         cfg = self.config
@@ -132,7 +161,7 @@ class Decoder(nn.Module):
             2 * sum(cfg.dec_units), name="z_to_initial_state")
         scan = nn.scan(DecoderCell, variable_broadcast="params",
                        split_rngs={"params": False}, in_axes=1, out_axes=1)
-        self.cell = scan(cfg, name="cell")
+        self.cell = scan(cfg, self.dtype, name="cell")
 
     def _init_carries(self, z):
         cfg = self.config
@@ -153,14 +182,17 @@ class Decoder(nn.Module):
             length = targets.shape[1] if targets is not None \
                 else cfg.max_seq_len
         carries = self._init_carries(z)
-        token = jnp.zeros((B, cfg.depth), z.dtype)
-        temp = jnp.asarray(temperature, z.dtype)
+        carries = jax.tree_util.tree_map(
+            lambda c: c.astype(self.dtype), carries)
+        z = z.astype(self.dtype)
+        token = jnp.zeros((B, cfg.depth), self.dtype)
+        temp = jnp.asarray(temperature, jnp.float32)
         if rng is None:
             rng = jax.random.PRNGKey(0)   # unused under teacher forcing
 
         carry0 = (carries, token, z, rng, temp)
         if targets is not None:   # teacher forcing: feedback from targets
-            _, (logits, _) = self.cell(carry0, targets)
+            _, (logits, _) = self.cell(carry0, targets.astype(self.dtype))
             return logits
         xs = jnp.zeros((B, length, 0), z.dtype)
         _, (logits, samples) = self.cell(carry0, xs)
@@ -168,17 +200,23 @@ class Decoder(nn.Module):
 
 
 class ConductorCell(nn.Module):
-    """One conductor step: LSTM + projection to a segment embedding."""
+    """One conductor step: stacked LSTM + projection to a segment embedding.
+
+    ``conductor_layers`` deep (magenta's hierdec conductor is 2-layer).
+    """
     config: MusicVAEConfig
 
     @nn.compact
     def __call__(self, carry, _):
         cfg = self.config
-        lstm_carry, token = carry
-        lstm_carry, h = nn.OptimizedLSTMCell(
-            cfg.conductor_units, name="lstm")(lstm_carry, token)
+        lstm_carries, token = carry
+        h, new_carries = token, []
+        for i in range(_conductor_layers(cfg)):
+            c, h = nn.OptimizedLSTMCell(
+                cfg.conductor_units, name=f"lstm_{i}")(lstm_carries[i], h)
+            new_carries.append(c)
         token = nn.Dense(cfg.latent_dims, name="segment_embedding")(h)
-        return (lstm_carry, token), token
+        return (tuple(new_carries), token), token
 
 
 class Conductor(nn.Module):
@@ -194,10 +232,13 @@ class Conductor(nn.Module):
     @nn.compact
     def __call__(self, z):
         cfg = self.config
-        init = jnp.tanh(nn.Dense(2 * cfg.conductor_units,
-                                 name="z_to_state")(z))
-        carry = (init[:, :cfg.conductor_units],
-                 init[:, cfg.conductor_units:])
+        layers = _conductor_layers(cfg)
+        u = cfg.conductor_units
+        init = jnp.tanh(nn.Dense(2 * u * layers, name="z_to_state")(z))
+        carry = tuple(
+            (init[:, 2 * i * u:(2 * i + 1) * u],
+             init[:, (2 * i + 1) * u:(2 * i + 2) * u])
+            for i in range(layers))
         token = jnp.zeros((z.shape[0], cfg.latent_dims), z.dtype)
         scan = nn.scan(ConductorCell, variable_broadcast="params",
                        split_rngs={"params": False}, in_axes=1, out_axes=1)
@@ -207,11 +248,13 @@ class Conductor(nn.Module):
 
 
 class MusicVAE(nn.Module):
+    """``dtype`` = compute dtype for the LSTM stacks (params stay fp32)."""
     config: MusicVAEConfig = MEL_2BAR_BIG
+    dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.encoder = Encoder(self.config)
-        self.decoder = Decoder(self.config)
+        self.encoder = Encoder(self.config, self.dtype)
+        self.decoder = Decoder(self.config, self.dtype)
         if self.config.hier_segments > 0:
             self.conductor = Conductor(self.config)
 
@@ -281,7 +324,8 @@ class TrainedMusicVAE:
     """
 
     def __init__(self, params=None, config: MusicVAEConfig = MEL_2BAR_BIG,
-                 converter: Optional[MelodyConverter] = None, seed: int = 0):
+                 converter: Optional[MelodyConverter] = None, seed: int = 0,
+                 compute_dtype=jnp.float32):
         # Melody-shaped construction without params: use the shipped codec.
         if params is None and config.depth == MEL_2BAR_BIG.depth and \
                 config.max_seq_len == MEL_2BAR_BIG.max_seq_len and \
@@ -295,7 +339,7 @@ class TrainedMusicVAE:
         # Accept the {"params", "config"[, "metrics"]} bundles written by
         # scripts/train_musicvae.py as well as bare param pytrees.
         if isinstance(params, dict) and {"params", "config"} <= set(params):
-            config = params["config"]
+            config = normalize_config(params["config"])
             params = params["params"]
         if params is not None:
             # Half-precision artifacts are restored to fp32 for compute.
@@ -305,7 +349,7 @@ class TrainedMusicVAE:
                 params)
         self.config = config
         self.converter = converter or melody_2bar_converter
-        self.model = MusicVAE(config)
+        self.model = MusicVAE(config, dtype=compute_dtype)
         rng = jax.random.PRNGKey(seed)
         self.random_weights = params is None
         if params is None:

@@ -273,3 +273,36 @@ def test_hierdec_256_compiles_fast():
     # Generous bounds — unrolled graphs took minutes, scans take seconds.
     assert train_compile < 60, f"teacher-forced compile {train_compile:.1f}s"
     assert decode_compile < 60, f"decode compile {decode_compile:.1f}s"
+
+
+def test_conductor_layers_and_old_config_normalization():
+    """2-layer conductor (magenta hierdec layout) has stacked params; configs
+    pickled before the field existed normalize to 1 layer."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from smd_tpu.codec import musicvae as mv
+
+    cfg = mv.MusicVAEConfig(latent_dims=8, enc_units=8, dec_units=(8,),
+                            depth=10, max_seq_len=32, hier_segments=4,
+                            conductor_units=12, conductor_layers=2)
+    model = mv.MusicVAE(cfg)
+    x = jnp.zeros((2, 32, 10))
+    rng = jax.random.PRNGKey(0)
+    params = model.init({"params": rng}, x, rng)
+    cell = params["params"]["conductor"]["cell"]
+    assert "lstm_0" in cell and "lstm_1" in cell
+    # z_to_state covers both layers' (c, h)
+    assert params["params"]["conductor"]["z_to_state"]["kernel"].shape[1] \
+        == 2 * 2 * 12
+    logits, mu, sigma = model.apply(params, x, rng)
+    assert logits.shape == (2, 32, 10)
+
+    # old pickled config: same dataclass minus the new field
+    old_fields = [f for f in dataclasses.fields(mv.MusicVAEConfig)
+                  if f.name != "conductor_layers"]
+    Old = dataclasses.make_dataclass(
+        "MusicVAEConfig", [(f.name, f.type) for f in old_fields])
+    old = Old(**{f.name: getattr(cfg, f.name) for f in old_fields})
+    norm = mv.normalize_config(old)
+    assert norm.conductor_layers == 1 and norm.conductor_units == 12
