@@ -27,6 +27,10 @@ from absl import app, flags, logging
 
 FLAGS = flags.FLAGS
 flags.DEFINE_string("input", None, "Glob of input MIDI files.")
+flags.DEFINE_enum("mode", "melody", ["melody", "multi"],
+                  "melody: 2-bar monophonic chunks (cat-mel_2bar family). "
+                  "multi: 1-bar multi-instrument performance-event chunks "
+                  "(hier-multiperf family, 8-segment conductor).")
 flags.DEFINE_string("output", "./checkpoints/musicvae.pkl",
                     "Output params pickle.")
 flags.DEFINE_integer("batch_size", 64, "Batch size.")
@@ -39,6 +43,10 @@ flags.DEFINE_integer("latent_dims", 512, "Latent dims.")
 flags.DEFINE_integer("enc_units", 512, "Encoder LSTM units.")
 flags.DEFINE_integer("dec_units", 512, "Decoder LSTM units per layer.")
 flags.DEFINE_integer("dec_layers", 2, "Decoder LSTM layers.")
+flags.DEFINE_integer("conductor_units", 512,
+                     "Conductor LSTM units (multi mode).")
+flags.DEFINE_integer("conductor_layers", 2,
+                     "Conductor LSTM layers (multi mode).")
 flags.DEFINE_integer("log_every", 100, "Logging frequency.")
 flags.DEFINE_integer("seed", 0, "PRNG seed.")
 flags.DEFINE_float("eval_frac", 0.05, "Held-out fraction for evaluation.")
@@ -63,14 +71,31 @@ def _parse_one(path):
     return out
 
 
-def load_tensors(files, workers=8):
+def _parse_one_multi(path):
+    """Worker: MIDI file -> list of (512,) uint16 performance-event id rows.
+
+    ids rather than one-hot: a (512, 490) fp32 chunk is 1 MB, the id row is
+    1 KB — the corpus stays in RAM and one-hot happens on device per batch.
+    """
+    from smd_tpu.codec import midi_io
+    from smd_tpu.codec.performance import multiperf_default_1bar_converter
+    try:
+        ns = midi_io.read_midi_file(path)
+    except Exception:
+        return []
+    return [t.argmax(-1).astype(np.uint16)
+            for t in multiperf_default_1bar_converter.to_tensors(ns).inputs]
+
+
+def load_tensors(files, workers=8, mode="melody"):
+    parse = _parse_one if mode == "melody" else _parse_one_multi
     tensors = []
     if workers <= 1 or len(files) < 16:
         for path in files:
-            tensors.extend(_parse_one(path))
+            tensors.extend(parse(path))
     else:
         with concurrent.futures.ProcessPoolExecutor(workers) as pool:
-            for chunk in pool.map(_parse_one, files, chunksize=16):
+            for chunk in pool.map(parse, files, chunksize=16):
                 tensors.extend(chunk)
     return np.stack(tensors) if tensors else None
 
@@ -85,11 +110,12 @@ def main(argv):
 
     files = sorted(glob.glob(os.path.expanduser(FLAGS.input), recursive=True))
     t0 = time.time()
-    data = load_tensors(files, FLAGS.parse_workers)
+    data = load_tensors(files, FLAGS.parse_workers, FLAGS.mode)
     if data is None:
-        raise ValueError("No melody chunks extracted from input")
-    logging.info("Parsed %d files -> %d melody chunks in %.1fs", len(files),
-                 len(data), time.time() - t0)
+        raise ValueError("No chunks extracted from input")
+    logging.info("Parsed %d files -> %d %s chunks in %.1fs", len(files),
+                 len(data), FLAGS.mode, time.time() - t0)
+    ids_input = data.ndim == 2   # multi mode stores event ids
 
     # Held-out split for honest reconstruction numbers.
     rng_np = np.random.default_rng(FLAGS.seed)
@@ -100,11 +126,24 @@ def main(argv):
     train_data = data[perm[n_eval:]]
     logging.info("train %d / eval %d chunks", len(train_data), len(eval_data))
 
-    cfg = MusicVAEConfig(latent_dims=FLAGS.latent_dims,
-                         enc_units=FLAGS.enc_units,
-                         dec_units=(FLAGS.dec_units,) * FLAGS.dec_layers,
-                         depth=data.shape[-1], max_seq_len=data.shape[1],
-                         free_bits=FLAGS.free_bits, beta=FLAGS.beta)
+    if FLAGS.mode == "multi":
+        from smd_tpu.codec.performance import multiperf_default_1bar_converter
+        depth = multiperf_default_1bar_converter.depth
+        cfg = MusicVAEConfig(
+            latent_dims=FLAGS.latent_dims, enc_units=FLAGS.enc_units,
+            dec_units=(FLAGS.dec_units,) * FLAGS.dec_layers,
+            depth=depth, max_seq_len=data.shape[1],
+            free_bits=FLAGS.free_bits, beta=FLAGS.beta,
+            hier_segments=multiperf_default_1bar_converter
+            .max_num_instruments,
+            conductor_units=FLAGS.conductor_units,
+            conductor_layers=FLAGS.conductor_layers)
+    else:
+        cfg = MusicVAEConfig(latent_dims=FLAGS.latent_dims,
+                             enc_units=FLAGS.enc_units,
+                             dec_units=(FLAGS.dec_units,) * FLAGS.dec_layers,
+                             depth=data.shape[-1], max_seq_len=data.shape[1],
+                             free_bits=FLAGS.free_bits, beta=FLAGS.beta)
     model = MusicVAE(cfg)
     rng = jax.random.PRNGKey(FLAGS.seed)
     rng, init_rng = jax.random.split(rng)
@@ -120,11 +159,17 @@ def main(argv):
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(schedule))
     opt_state = tx.init(params)
 
+    def prep(batch):
+        return jax.nn.one_hot(batch, cfg.depth) if ids_input \
+            else batch
+
     @jax.jit
     def train_step(params, opt_state, batch, rng):
+        x = prep(batch)
+
         def loss_fn(p):
-            logits, mu, sigma = model.apply(p, batch, rng)
-            return elbo_loss(logits, batch, mu, sigma,
+            logits, mu, sigma = model.apply(p, x, rng)
+            return elbo_loss(logits, x, mu, sigma,
                              free_bits=cfg.free_bits, beta=cfg.beta)
 
         (loss, aux), grads = jax.value_and_grad(loss_fn,
@@ -135,27 +180,36 @@ def main(argv):
 
     @jax.jit
     def eval_step(params, batch, rng):
-        """Teacher-forced accuracy + free-running round-trip accuracy."""
-        logits, mu, sigma = model.apply(params, batch, rng)
-        labels = batch.argmax(-1)
-        tf_acc = (logits.argmax(-1) == labels).mean()
+        """Teacher-forced accuracy + free-running round-trip accuracy.
+
+        In multi mode both are also reported over non-PAD rows only — the
+        overall number is inflated by the padded tails of the 8 x 64 event
+        grid."""
+        x = prep(batch)
+        logits, mu, sigma = model.apply(params, x, rng)
+        labels = x.argmax(-1)
+        mask = (labels != 0) if ids_input else jnp.ones_like(labels,
+                                                             jnp.bool_)
+        tf_hit = logits.argmax(-1) == labels
+        tf_acc = tf_hit.mean()
+        tf_acc_np = (tf_hit * mask).sum() / jnp.maximum(mask.sum(), 1)
         # Free-running: decode from mu at near-greedy temperature.
         _, samples = model.apply(params, mu, rng, temperature=1e-3,
                                  method=MusicVAE.decode)
-        fr_acc = (samples == labels).mean()
-        return tf_acc, fr_acc
+        fr_hit = samples == labels
+        fr_acc = fr_hit.mean()
+        fr_acc_np = (fr_hit * mask).sum() / jnp.maximum(mask.sum(), 1)
+        return tf_acc, fr_acc, tf_acc_np, fr_acc_np
 
     def evaluate(params, rng):
-        tf_accs, fr_accs = [], []
+        accs = []
         for b in range(min(FLAGS.eval_batches,
                            len(eval_data) // FLAGS.batch_size)):
             batch = jnp.asarray(
                 eval_data[b * FLAGS.batch_size:(b + 1) * FLAGS.batch_size])
             rng, k = jax.random.split(rng)
-            tf_acc, fr_acc = eval_step(params, batch, k)
-            tf_accs.append(float(tf_acc))
-            fr_accs.append(float(fr_acc))
-        return float(np.mean(tf_accs)), float(np.mean(fr_accs))
+            accs.append([float(a) for a in eval_step(params, batch, k)])
+        return [float(np.mean(col)) for col in zip(*accs)]
 
     n = len(train_data)
     t0 = time.time()
@@ -171,21 +225,30 @@ def main(argv):
                    f" | {step / max(time.time() - t0, 1e-9):.1f} steps/s")
             if len(eval_data) >= FLAGS.batch_size:
                 rng, ek = jax.random.split(rng)
-                tf_acc, fr_acc = evaluate(params, ek)
+                tf_acc, fr_acc, tf_np, fr_np = evaluate(params, ek)
                 msg += (f" | eval tf_acc {tf_acc:.4f} | "
                         f"eval roundtrip_acc {fr_acc:.4f}")
+                if ids_input:
+                    msg += (f" | nonpad tf {tf_np:.4f} | "
+                            f"nonpad roundtrip {fr_np:.4f}")
             logging.info("%s", msg)
 
     metrics = {}
     if len(eval_data) >= FLAGS.batch_size:
         rng, ek = jax.random.split(rng)
-        tf_acc, fr_acc = evaluate(params, ek)
+        tf_acc, fr_acc, tf_np, fr_np = evaluate(params, ek)
         metrics = {"eval_teacher_forced_acc": tf_acc,
                    "eval_roundtrip_acc": fr_acc,
                    "eval_chunks": int(len(eval_data)),
                    "train_chunks": int(len(train_data))}
+        if ids_input:
+            metrics["eval_teacher_forced_acc_nonpad"] = tf_np
+            metrics["eval_roundtrip_acc_nonpad"] = fr_np
         logging.info("FINAL eval: teacher-forced acc %.4f | "
                      "round-trip acc %.4f", tf_acc, fr_acc)
+        if ids_input:
+            logging.info("FINAL eval (non-PAD rows): teacher-forced %.4f | "
+                         "round-trip %.4f", tf_np, fr_np)
 
     if FLAGS.half_precision_artifact:
         params = jax.tree_util.tree_map(

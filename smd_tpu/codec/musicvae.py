@@ -67,17 +67,30 @@ MEL_16BAR_HIERDEC = MusicVAEConfig(max_seq_len=256, hier_segments=16)
 # automatically when a melody-shaped TrainedMusicVAE is constructed without
 # explicit params, replacing the reference's downloaded Google checkpoint
 # (reference config.py:17-19).
-DEFAULT_MELODY_ARTIFACT = os.path.join(
+_CKPT_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)))), "checkpoints", "musicvae-melody.pkl")
+        os.path.abspath(__file__)))), "checkpoints")
+DEFAULT_MELODY_ARTIFACT = os.path.join(_CKPT_DIR, "musicvae-melody.pkl")
+# hier-multiperf codec trained on the synthetic multitrack corpus
+# (scripts/make_multitrack_corpus.py + train_musicvae.py --mode=multi).
+DEFAULT_MULTI_ARTIFACT = os.path.join(_CKPT_DIR, "musicvae-multi.pkl")
+
+
+def _load_artifact(path):
+    if not os.path.exists(path):
+        return None
+    from smd_tpu.utils import io as io_lib
+    return io_lib.load(path)
 
 
 def load_default_melody_params():
     """The shipped melody codec bundle, or None when absent."""
-    if not os.path.exists(DEFAULT_MELODY_ARTIFACT):
-        return None
-    from smd_tpu.utils import io as io_lib
-    return io_lib.load(DEFAULT_MELODY_ARTIFACT)
+    return _load_artifact(DEFAULT_MELODY_ARTIFACT)
+
+
+def load_default_multi_params():
+    """The shipped multitrack (hier-multiperf) codec bundle, or None."""
+    return _load_artifact(DEFAULT_MULTI_ARTIFACT)
 
 
 class Encoder(nn.Module):
@@ -326,7 +339,7 @@ class TrainedMusicVAE:
     def __init__(self, params=None, config: MusicVAEConfig = MEL_2BAR_BIG,
                  converter: Optional[MelodyConverter] = None, seed: int = 0,
                  compute_dtype=jnp.float32):
-        # Melody-shaped construction without params: use the shipped codec.
+        # Melody-/multi-shaped construction without params: shipped codecs.
         if params is None and config.depth == MEL_2BAR_BIG.depth and \
                 config.max_seq_len == MEL_2BAR_BIG.max_seq_len and \
                 config.hier_segments == 0:
@@ -336,6 +349,16 @@ class TrainedMusicVAE:
                 logging.getLogger(__name__).info(
                     "Loaded shipped melody codec from %s",
                     DEFAULT_MELODY_ARTIFACT)
+        elif params is None and config.hier_segments > 0:
+            params = load_default_multi_params()
+            if params is not None and \
+                    params["config"].depth != config.depth:
+                params = None   # different event vocabulary: no fit
+            if params is not None:
+                import logging
+                logging.getLogger(__name__).info(
+                    "Loaded shipped multitrack codec from %s",
+                    DEFAULT_MULTI_ARTIFACT)
         # Accept the {"params", "config"[, "metrics"]} bundles written by
         # scripts/train_musicvae.py as well as bare param pytrees.
         if isinstance(params, dict) and {"params", "config"} <= set(params):
