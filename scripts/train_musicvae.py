@@ -55,6 +55,11 @@ flags.DEFINE_bool("half_precision_artifact", True,
                   "Save params as float16 (halves the artifact size; "
                   "restored to float32 at load).")
 flags.DEFINE_integer("parse_workers", 8, "Processes for MIDI parsing.")
+flags.DEFINE_float("scheduled_sampling", 0.0,
+                   "Final scheduled-sampling probability (ramped linearly "
+                   "over the first half of training). Feeds the decoder its "
+                   "own samples during teacher forcing so free-running "
+                   "decode does not drift.")
 
 
 def _parse_one(path):
@@ -164,11 +169,11 @@ def main(argv):
             else batch
 
     @jax.jit
-    def train_step(params, opt_state, batch, rng):
+    def train_step(params, opt_state, batch, rng, ss_prob):
         x = prep(batch)
 
         def loss_fn(p):
-            logits, mu, sigma = model.apply(p, x, rng)
+            logits, mu, sigma = model.apply(p, x, rng, ss_prob=ss_prob)
             return elbo_loss(logits, x, mu, sigma,
                              free_bits=cfg.free_bits, beta=cfg.beta)
 
@@ -217,8 +222,10 @@ def main(argv):
         idx = rng_np.integers(0, n, FLAGS.batch_size)
         batch = jnp.asarray(train_data[idx])
         rng, step_rng = jax.random.split(rng)
+        ss = FLAGS.scheduled_sampling * min(
+            1.0, step / max(FLAGS.steps // 2, 1))
         params, opt_state, loss, aux = train_step(params, opt_state, batch,
-                                                  step_rng)
+                                                  step_rng, ss)
         if step % FLAGS.log_every == 0:
             msg = (f"step {step} | elbo {float(loss):.3f} | "
                    f"rec {float(aux['rec']):.3f} | kl {float(aux['kl']):.3f}"

@@ -99,6 +99,17 @@ class Encoder(nn.Module):
     ``dtype`` is the compute dtype (params stay fp32): bf16 keeps every
     (B, in+units) @ (in+units, 4*units) gate matmul on the fast MXU path
     and halves activation traffic. The latent head stays fp32.
+
+    Hierarchical configs (``hier_segments > 0``) encode hierarchically, the
+    magenta hier-encoder pattern: each segment (an instrument stream /
+    sub-phrase) runs through the BiLSTM independently — segments fold into
+    the batch axis, so the scan is ``seg_len`` steps instead of
+    ``max_seq_len`` — and the per-segment carries concatenate into the
+    latent head. A flat LSTM over 512 rows cannot hold a chunk's exact
+    event content in one final carry; per-segment carries can (the flat
+    encoder's teacher-forced accuracy plateaued at 0.72 on the multitrack
+    corpus at two model sizes — see docs/DESIGN.md for the hierarchical
+    numbers).
     """
     config: MusicVAEConfig
     dtype: jnp.dtype = jnp.float32
@@ -107,6 +118,11 @@ class Encoder(nn.Module):
     def __call__(self, x):
         cfg = self.config
         x = x.astype(self.dtype)
+        B = x.shape[0]
+        S = max(cfg.hier_segments, 1)
+        if S > 1:
+            seg_len = x.shape[1] // S
+            x = x.reshape(B * S, seg_len, x.shape[-1])
         fwd = nn.RNN(nn.OptimizedLSTMCell(cfg.enc_units, dtype=self.dtype),
                      return_carry=True, name="fwd")
         bwd = nn.RNN(nn.OptimizedLSTMCell(cfg.enc_units, dtype=self.dtype),
@@ -115,6 +131,8 @@ class Encoder(nn.Module):
         carry_b, _ = bwd(x)
         h = jnp.concatenate([carry_f[1], carry_b[1]],
                             axis=-1).astype(jnp.float32)
+        if S > 1:
+            h = h.reshape(B, S * h.shape[-1])
         mu = nn.Dense(cfg.latent_dims, name="mu")(h)
         sigma = nn.softplus(nn.Dense(cfg.latent_dims, name="sigma")(h))
         return mu, sigma
@@ -136,7 +154,7 @@ class DecoderCell(nn.Module):
     @nn.compact
     def __call__(self, carry, x_t):
         cfg = self.config
-        carries, token, z, rng, temp = carry
+        carries, token, z, rng, temp, ss_prob = carry
         x = jnp.concatenate([token, z], axis=-1).astype(self.dtype)
         new_carries = []
         for i, u in enumerate(cfg.dec_units):
@@ -146,14 +164,23 @@ class DecoderCell(nn.Module):
         # fp32 logits: categorical sampling + NLL want full precision.
         logits = nn.Dense(cfg.depth, name="logits")(x.astype(jnp.float32))
         if x_t.shape[-1]:   # teacher forcing (static: shape-determined)
-            new_token = x_t
-            idx = jnp.zeros((logits.shape[0],), jnp.int32)
+            # Scheduled sampling (Bengio'15): with prob ss_prob feed the
+            # model's own sample instead of the target, so free-running
+            # decoding does not drift off the teacher-forced distribution.
+            rng, step_rng, mix_rng = jax.random.split(rng, 3)
+            idx = jax.random.categorical(
+                step_rng, logits / jnp.maximum(temp, 1e-6))
+            sampled = jax.nn.one_hot(idx, cfg.depth, dtype=x_t.dtype)
+            use_model = jax.random.bernoulli(
+                mix_rng, ss_prob, (logits.shape[0], 1))
+            new_token = jnp.where(use_model, sampled, x_t)
         else:
             rng, step_rng = jax.random.split(rng)
             idx = jax.random.categorical(
                 step_rng, logits / jnp.maximum(temp, 1e-6))
             new_token = jax.nn.one_hot(idx, cfg.depth, dtype=x.dtype)
-        return (tuple(new_carries), new_token, z, rng, temp), (logits, idx)
+        return (tuple(new_carries), new_token, z, rng, temp,
+                ss_prob), (logits, idx)
 
 
 class Decoder(nn.Module):
@@ -188,7 +215,7 @@ class Decoder(nn.Module):
         return tuple(carries)
 
     def __call__(self, z, targets=None, rng=None, temperature=1e-3,
-                 length: Optional[int] = None):
+                 length: Optional[int] = None, ss_prob=0.0):
         cfg = self.config
         B = z.shape[0]
         if length is None:
@@ -201,9 +228,10 @@ class Decoder(nn.Module):
         token = jnp.zeros((B, cfg.depth), self.dtype)
         temp = jnp.asarray(temperature, jnp.float32)
         if rng is None:
-            rng = jax.random.PRNGKey(0)   # unused under teacher forcing
+            rng = jax.random.PRNGKey(0)   # fixed: teacher forcing w/o ss
 
-        carry0 = (carries, token, z, rng, temp)
+        carry0 = (carries, token, z, rng, temp,
+                  jnp.asarray(ss_prob, jnp.float32))
         if targets is not None:   # teacher forcing: feedback from targets
             _, (logits, _) = self.cell(carry0, targets.astype(self.dtype))
             return logits
@@ -295,10 +323,17 @@ class MusicVAE(nn.Module):
         return self.decoder(z, rng=rng, temperature=temperature,
                             length=length)
 
-    def __call__(self, x, rng):
-        """Training forward: reconstruction logits + posterior params."""
+    def __call__(self, x, rng, ss_prob=0.0):
+        """Training forward: reconstruction logits + posterior params.
+
+        ``ss_prob``: scheduled-sampling probability — with that chance each
+        teacher-forced feedback token is replaced by the model's own sample
+        (drawn at temperature 1), closing the train/free-running gap.
+        """
+        rng, dec_rng = jax.random.split(rng)
         z, mu, sigma = self.encode(x, rng)
         cfg = self.config
+        dec_kwargs = dict(ss_prob=ss_prob, rng=dec_rng, temperature=1.0)
         if cfg.hier_segments > 0:
             S = cfg.hier_segments
             B, T, depth = x.shape
@@ -306,10 +341,10 @@ class MusicVAE(nn.Module):
             embeddings = self.conductor(z)            # (B, S, latent)
             flat = embeddings.reshape(B * S, cfg.latent_dims)
             seg_targets = x.reshape(B * S, seg_len, depth)
-            logits = self.decoder(flat, targets=seg_targets)
+            logits = self.decoder(flat, targets=seg_targets, **dec_kwargs)
             logits = logits.reshape(B, T, cfg.depth)
         else:
-            logits = self.decoder(z, targets=x)
+            logits = self.decoder(z, targets=x, **dec_kwargs)
         return logits, mu, sigma
 
 
