@@ -1,0 +1,168 @@
+"""Complete multitrack workflow proof: multi-instrument pipeline end to end.
+
+Multi-instrument MIDI corpus -> shipped hier-multiperf codec
+(``checkpoints/musicvae-multi.pkl``) encodes 1-bar performance-event chunks
+to 512-d latents -> window into 4-bar latent sequences -> train
+TransformerDDPM -> DDIM-sample -> decode back to multi-instrument MIDI ->
+score with latent Fréchet distance and framewise Overlapping-Area metrics.
+
+The multitrack analogue of ``benchmarks/full_workflow.py`` (reference
+pipeline: ``multi-1-big`` config, ``generate_song_data_beam.py --mode=multi``,
+``transform_encoded_data.py``, ``train_ncsn.py``, ``sample_audio.py``).
+
+Run: python benchmarks/full_workflow_multi.py [--steps 3000]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=3000)
+    parser.add_argument("--songs", type=int, default=400)
+    parser.add_argument("--window", type=int, default=4)
+    parser.add_argument("--eval_n", type=int, default=128)
+    args = parser.parse_args()
+
+    from scripts.make_multitrack_corpus import make_song
+    from smd_tpu.codec import musicvae as mv
+    from smd_tpu.config import MUSIC_VAE_CONFIG
+    from smd_tpu.diffusion import samplers, schedules
+    from smd_tpu.eval import metrics, midi_metrics
+    from smd_tpu.models import get_model
+    from smd_tpu.training import diffusion as trainer
+
+    t_all = time.time()
+    results = {}
+
+    # ---- 1. corpus + shipped codec --------------------------------------
+    entry = MUSIC_VAE_CONFIG["multi-1-big"]
+    codec = mv.TrainedMusicVAE(config=entry.model,
+                               converter=entry.data_converter)
+    if codec.random_weights:
+        raise SystemExit("shipped multitrack codec artifact missing — train "
+                         "with scripts/train_musicvae.py --mode=multi")
+    rng_np = np.random.default_rng(0)
+    songs = [make_song(rng_np) for _ in range(args.songs)]
+
+    # ---- 2. encode corpus to latent sequences ---------------------------
+    t0 = time.time()
+    conv = entry.data_converter
+    windows = []
+    per_song_chunks = []
+    for ns in songs:
+        chunks = conv.to_tensors(ns).inputs
+        per_song_chunks.append(chunks)
+        if len(chunks) < args.window:
+            continue
+    flat = [c for chunks in per_song_chunks for c in chunks]
+    mus = []
+    Bsz = 256
+    for i in range(0, len(flat), Bsz):
+        _, mu, _ = codec.encode_tensors(flat[i:i + Bsz])
+        mus.append(mu)
+    mus = np.concatenate(mus) if mus else np.zeros((0, 512))
+    off = 0
+    for chunks in per_song_chunks:
+        song_mu = mus[off:off + len(chunks)]
+        off += len(chunks)
+        for s in range(0, len(song_mu) - args.window + 1):
+            windows.append(song_mu[s:s + args.window])
+    data = np.stack(windows).astype(np.float32)
+    # normalize to roughly [-1, 1] for the diffusion prior
+    scale = np.abs(data).max() or 1.0
+    data_n = data / scale
+    results["encode"] = {"chunks": int(len(flat)),
+                        "windows": int(len(data)),
+                        "seconds": round(time.time() - t0, 1)}
+
+    # ---- 3. train the diffusion model -----------------------------------
+    t0 = time.time()
+    latent = data.shape[-1]
+    model = get_model("TransformerDDPM", num_layers=6, num_heads=8,
+                      num_mlp_layers=2, mlp_dims=2048,
+                      dtype=jnp.bfloat16)
+    betas = schedules.noise_schedule(1e-6, 0.01, 1000, "linear")
+    consts = schedules.ddpm_constants(betas)
+    config = trainer.TrainConfig(loss="ddpm", learning_rate=1e-3,
+                                 batch_size=64, ema=True)
+    state = trainer.create_train_state(jax.random.PRNGKey(1), model,
+                                       (64, args.window, latent),
+                                       (64, 1, 1), config)
+    step_fn = trainer.make_train_step(
+        model, trainer.objective_by_name("ddpm"), betas, True)
+    rng = jax.random.PRNGKey(2)
+    for i in range(args.steps):
+        idx = rng_np.integers(0, len(data_n), 64)
+        rng, k = jax.random.split(rng)
+        state, m = step_fn(state, jnp.asarray(data_n[idx]), k)
+    results["diffusion_train"] = {
+        "steps": args.steps, "loss": round(float(m["loss"]), 4),
+        "seconds": round(time.time() - t0, 1)}
+
+    # ---- 4. sample + decode back to MIDI --------------------------------
+    t0 = time.time()
+    params = state.sampling_params
+    model_fn = lambda x, c: model.apply(
+        jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params),
+        x.astype(jnp.bfloat16), c.astype(jnp.bfloat16)).astype(jnp.float32)
+    init = jax.random.normal(jax.random.PRNGKey(5),
+                             (args.eval_n, args.window, latent))
+    gen_n = np.asarray(jax.jit(
+        lambda k, x: samplers.ddim_dynamics(
+            k, model_fn, betas, x, num_steps=50,
+            constants=consts).state)(jax.random.PRNGKey(6), init))
+    real_idx = rng_np.choice(len(data_n), args.eval_n, replace=False)
+    fd = metrics.frechet_distance(
+        data_n[real_idx].reshape(args.eval_n, -1),
+        gen_n.reshape(args.eval_n, -1))
+    fd_noise = metrics.frechet_distance(
+        data_n[real_idx].reshape(args.eval_n, -1),
+        np.random.default_rng(3).normal(
+            size=(args.eval_n, args.window * latent)))
+    results["latent_fd"] = {"generated": round(fd, 2),
+                            "random_baseline": round(fd_noise, 2)}
+
+    gen = (gen_n * scale).reshape(-1, latent)
+    decoded_ns = []
+    for i in range(0, len(gen), 256):
+        decoded_ns.extend(codec.decode(gen[i:i + 256]))
+    results["decode_seconds"] = round(time.time() - t0, 1)
+
+    # ---- 5. perceptual OA metrics ---------------------------------------
+    real_sample = [per_song_chunks[i] for i in
+                   rng_np.choice(len(songs), 32, replace=False)]
+    real_ns = [conv.from_tensors([c])[0] for chunks in real_sample
+               for c in chunks[:2]]
+    oas = []
+    for g in decoded_ns[:32]:
+        if not g.notes:
+            continue
+        sims = []
+        for r in real_ns[:32]:
+            try:
+                s = midi_metrics.perceptual_similarity(g, r)
+                sims.append(float(np.mean(list(s.values()))))
+            except Exception:
+                continue
+        if sims:
+            oas.append(float(np.mean(sims)))
+    results["framewise_oa_vs_real"] = round(float(np.mean(oas)), 4) \
+        if oas else None
+    results["total_seconds"] = round(time.time() - t_all, 1)
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

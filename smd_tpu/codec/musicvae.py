@@ -406,7 +406,18 @@ class TrainedMusicVAE:
                 if jnp.asarray(p).dtype == jnp.float16 else jnp.asarray(p),
                 params)
         self.config = config
-        self.converter = converter or melody_2bar_converter
+        if converter is None:
+            # Infer from the (possibly bundle-supplied) config shape: the
+            # hier-multiperf event vocabulary means the performance
+            # converter; everything else defaults to the melody grid.
+            from smd_tpu.codec.performance import (
+                multiperf_default_1bar_converter)
+            if config.hier_segments > 0 and \
+                    config.depth == multiperf_default_1bar_converter.depth:
+                converter = multiperf_default_1bar_converter
+            else:
+                converter = melody_2bar_converter
+        self.converter = converter
         self.model = MusicVAE(config, dtype=compute_dtype)
         rng = jax.random.PRNGKey(seed)
         self.random_weights = params is None
