@@ -147,7 +147,8 @@ def quantize_head_params(params):
     return rec(params)
 
 
-def calibrate_head_act_scales(model, params, batches, margin=1.0):
+def calibrate_head_act_scales(model, params, batches, margin=1.0,
+                              rounds=2):
     """Calibrate static int8 activation scales for the quantized head.
 
     model: the architecture with ``quantized_head=True``; params: the tree
@@ -158,7 +159,18 @@ def calibrate_head_act_scales(model, params, batches, margin=1.0):
     sows the amax of its pre-matmul activations, maxes the observations over
     batches, and returns a params tree with ``a{1,2}_scale = margin * amax
     / 127`` baked in.
+
+    ``rounds``: calibration iterations. Observations downstream of a
+    still-uncalibrated matmul (e.g. a2 during the first pass, when the
+    first matmul quantizes with scale 1.0) are distorted; a second pass
+    re-observes under the first pass's scales. Two rounds converge.
     """
+    for _ in range(max(rounds, 1)):
+        params = _calibrate_once(model, params, batches, margin)
+    return params
+
+
+def _calibrate_once(model, params, batches, margin):
     import jax
 
     amax = {}
