@@ -127,6 +127,8 @@ def main(argv):
     perm = rng_np.permutation(len(data))
     n_eval = max(FLAGS.batch_size,
                  int(len(data) * FLAGS.eval_frac)) if FLAGS.eval_frac else 0
+    # Never let the eval split consume the training data (tiny corpora).
+    n_eval = min(n_eval, max(len(data) - FLAGS.batch_size, 0))
     eval_data = data[perm[:n_eval]]
     train_data = data[perm[n_eval:]]
     logging.info("train %d / eval %d chunks", len(train_data), len(eval_data))

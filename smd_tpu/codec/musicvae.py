@@ -374,17 +374,18 @@ class TrainedMusicVAE:
     def __init__(self, params=None, config: MusicVAEConfig = MEL_2BAR_BIG,
                  converter: Optional[MelodyConverter] = None, seed: int = 0,
                  compute_dtype=jnp.float32):
-        # Melody-/multi-shaped construction without params: shipped codecs.
-        if params is None and config.depth == MEL_2BAR_BIG.depth and \
-                config.max_seq_len == MEL_2BAR_BIG.max_seq_len and \
-                config.hier_segments == 0:
+        # Default-shaped construction without params: shipped codecs. Only
+        # full-size configs auto-load (a deliberately tiny test config must
+        # keep its requested architecture with random weights).
+        if params is None and config == MEL_2BAR_BIG:
             params = load_default_melody_params()
             if params is not None:
                 import logging
                 logging.getLogger(__name__).info(
                     "Loaded shipped melody codec from %s",
                     DEFAULT_MELODY_ARTIFACT)
-        elif params is None and config.hier_segments > 0:
+        elif params is None and config.hier_segments > 0 and \
+                config.latent_dims == 512 and config.enc_units >= 1024:
             params = load_default_multi_params()
             if params is not None and \
                     params["config"].depth != config.depth:
