@@ -53,8 +53,18 @@ def main():
     if codec.random_weights:
         raise SystemExit("shipped multitrack codec artifact missing — train "
                          "with scripts/train_musicvae.py --mode=multi")
+    # Route songs through MIDI files: tick-quantized timing is the codec's
+    # training distribution and real input path (see test_shipped_codec).
+    import tempfile
+
+    from smd_tpu.codec import midi_io
     rng_np = np.random.default_rng(0)
-    songs = [make_song(rng_np) for _ in range(args.songs)]
+    tmp = tempfile.mkdtemp(prefix="wf_multi_")
+    songs = []
+    for i in range(args.songs):
+        path = os.path.join(tmp, f"s{i}.mid")
+        midi_io.write_midi_file(make_song(rng_np), path)
+        songs.append(midi_io.read_midi_file(path))
 
     # ---- 2. encode corpus to latent sequences ---------------------------
     t0 = time.time()
@@ -80,16 +90,26 @@ def main():
         for s in range(0, len(song_mu) - args.window + 1):
             windows.append(song_mu[s:s + args.window])
     data = np.stack(windows).astype(np.float32)
-    # normalize to roughly [-1, 1] for the diffusion prior
-    scale = np.abs(data).max() or 1.0
-    data_n = data / scale
+    # The reference's multi pipeline slices the 512-d latent to its top-146
+    # variance dims (checkpoints/slice-multi-fb512.pkl) before diffusion:
+    # free-bits posteriors leave most dims dead, and dead dims' mu-jitter
+    # standardizes into unit-variance unpredictable noise (measured: the
+    # diffusion loss floors at ~0.76 on raw 512-d, reference-parity slicing
+    # drops it to the learnable regime). Same recipe here.
+    n_keep = 146
+    full_std = data.reshape(-1, data.shape[-1]).std(axis=0)
+    keep = np.argsort(full_std)[::-1][:n_keep].copy()
+    sliced = data[..., keep]
+    d_mean = sliced.mean(axis=(0, 1), keepdims=True)
+    d_std = sliced.std(axis=(0, 1), keepdims=True) + 1e-6
+    data_n = np.clip((sliced - d_mean) / (3.0 * d_std), -1.0, 1.0)
     results["encode"] = {"chunks": int(len(flat)),
                         "windows": int(len(data)),
                         "seconds": round(time.time() - t0, 1)}
 
     # ---- 3. train the diffusion model -----------------------------------
     t0 = time.time()
-    latent = data.shape[-1]
+    latent = data_n.shape[-1]   # sliced width (reference: 146)
     model = get_model("TransformerDDPM", num_layers=6, num_heads=8,
                       num_mlp_layers=2, mlp_dims=2048,
                       dtype=jnp.bfloat16)
@@ -134,7 +154,12 @@ def main():
     results["latent_fd"] = {"generated": round(fd, 2),
                             "random_baseline": round(fd_noise, 2)}
 
-    gen = (gen_n * scale).reshape(-1, latent)
+    # inverse: un-normalize, scatter kept dims back, fill dropped dims with
+    # their dataset mean (mu-space; the reference fills with randn).
+    gen_k = (gen_n * (3.0 * d_std) + d_mean).reshape(-1, n_keep)
+    fill = data.reshape(-1, data.shape[-1]).mean(axis=0)
+    gen = np.tile(fill, (len(gen_k), 1)).astype(np.float32)
+    gen[:, keep] = gen_k
     decoded_ns = []
     for i in range(0, len(gen), 256):
         decoded_ns.extend(codec.decode(gen[i:i + 256]))

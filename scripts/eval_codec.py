@@ -35,25 +35,7 @@ flags.DEFINE_integer("batch_size", 256, "Encode/decode batch size.")
 flags.DEFINE_integer("seed", 0, "Shuffle seed.")
 
 
-def _notes_key(ns, spq):
-    """Comparable note set: (instrument, pitch, onset step)."""
-    out = set()
-    for n in ns.notes:
-        out.add((n.instrument, n.pitch, int(round(n.start_time / spq))))
-    return out
-
-
-def note_f1(real_ns, decoded_ns, steps_per_quarter):
-    spq = 60.0 / 120.0 / steps_per_quarter
-    a = _notes_key(real_ns, spq)
-    b = _notes_key(decoded_ns, spq)
-    if not a and not b:
-        return 1.0, 1.0, 1.0
-    tp = len(a & b)
-    precision = tp / max(len(b), 1)
-    recall = tp / max(len(a), 1)
-    f1 = 2 * precision * recall / max(precision + recall, 1e-9)
-    return precision, recall, f1
+from smd_tpu.eval.midi_metrics import note_f1  # noqa: E402
 
 
 def main(argv):

@@ -165,3 +165,31 @@ def oa_consistency_variance(sequences, interval=1):
         out[key] = (float(np.mean(adjacent)) if adjacent else 0.0,
                     float(np.mean(pairs)) if pairs else 0.0)
     return out
+
+
+def _note_onset_set(ns, seconds_per_step):
+    """Comparable note set: (instrument, pitch, onset step)."""
+    out = set()
+    for n in ns.notes:
+        out.add((n.instrument, n.pitch,
+                 int(round(n.start_time / seconds_per_step))))
+    return out
+
+
+def note_f1(real_ns, decoded_ns, steps_per_quarter, qpm=120.0):
+    """Note-level precision/recall/F1 on (instrument, pitch, onset step).
+
+    The fair codec-fidelity metric for performance-event streams, where
+    position-wise token accuracy collapses after a single inserted or
+    dropped event (``scripts/eval_codec.py``).
+    """
+    spq = 60.0 / qpm / steps_per_quarter
+    a = _note_onset_set(real_ns, spq)
+    b = _note_onset_set(decoded_ns, spq)
+    if not a and not b:
+        return 1.0, 1.0, 1.0
+    tp = len(a & b)
+    precision = tp / max(len(b), 1)
+    recall = tp / max(len(a), 1)
+    f1 = 2 * precision * recall / max(precision + recall, 1e-9)
+    return precision, recall, f1
