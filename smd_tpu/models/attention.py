@@ -26,12 +26,16 @@ class MultiHeadSelfAttention(nn.Module):
 
     features: model width (qkv width == out width == features).
     causal: apply a causal mask (TransformerMDN) or none (TransformerDDPM).
-    use_flash_min_len: sequences at least this long route to the Pallas kernel.
+    use_flash_min_len: sequences at least this long route to the Pallas
+        kernel. Measured crossover on v5e (chained-scan, bf16 + fp32):
+        XLA's fused einsum is ~2x faster at S=128, ties at S=256, and the
+        flash kernel wins 1.6-3x from S=1024 (docs/DESIGN.md) — so the
+        default routes S < 512 to einsum.
     """
     features: int
     num_heads: int
     causal: bool = False
-    use_flash_min_len: int = 128
+    use_flash_min_len: int = 512
     # Packed short-seq kernel: measured slower than the fused einsum path at
     # S=32/Dh=16 on v5e (21.8 vs 15.0 ms/step in the DDPM sampler — the
     # fold transposes and small-K MXU work outweigh the tiling win), so the
