@@ -23,7 +23,10 @@ import os
 
 NUM_SAMPLES = int(os.environ.get("BENCH_NUM_SAMPLES", 1000))
 SEQ_LEN = 32
-CHANNELS = 42
+# 42 = the reference's sampled data shape (sample_ncsn.py samples in the
+# sliced-latent space; BASELINE.md "32x512" refers to the unsliced latent,
+# which the pipeline slices to 42 dims before the model ever sees it).
+CHANNELS = int(os.environ.get("BENCH_CHANNELS", 42))
 T = int(os.environ.get("BENCH_T", 1000))
 BASELINE_SEQS_PER_SEC_PER_CHIP = (1000 / 60.0) / 8.0
 
