@@ -125,6 +125,10 @@ def main():
             constants=consts).state),
         ("ddim_50", lambda k, x: samplers.ddim_dynamics(
             k, model_fn, betas, x, num_steps=50, constants=consts).state),
+        ("dpmpp_20", lambda k, x: samplers.dpmpp_dynamics(
+            k, model_fn, betas, x, num_steps=20, constants=consts).state),
+        ("dpmpp_8", lambda k, x: samplers.dpmpp_dynamics(
+            k, model_fn, betas, x, num_steps=8, constants=consts).state),
         ("ancestral_T1000_serving", lambda k, x: samplers.diffusion_dynamics(
             k, serve_fn, betas, x, collect_steps=0, collect_metrics=False,
             constants=consts).state),

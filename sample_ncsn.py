@@ -144,9 +144,10 @@ def main(argv):
     logging.info("Generated samples in %f seconds", time.time() - t0)
 
     generated = np.asarray(generated)
-    collection = np.asarray(collection)
+    # dpmpp is a pure low-step production path: no snapshot collection.
+    collection = np.asarray(collection) if collection is not None else None
 
-    if FLAGS.animate and shape[-1] == 2:
+    if FLAGS.animate and shape[-1] == 2 and collection is not None:
         buf = plots.animate_scatter_2d(collection[::2], fps=240)
         with open(os.path.join(log_dir, "animated.gif"), "wb") as f:
             f.write(buf.getvalue())
@@ -155,7 +156,7 @@ def main(argv):
         generated_t = transforms.inverse_data_transform(
             generated, FLAGS.normalize, pca, train_ds.min, train_ds.max,
             slice_idx, dim_weights)
-        if not FLAGS.interpolate:
+        if not FLAGS.interpolate and collection is not None:
             collection_t = transforms.inverse_data_transform(
                 collection, FLAGS.normalize, pca, train_ds.min, train_ds.max,
                 slice_idx, dim_weights)
@@ -171,6 +172,8 @@ def main(argv):
         if ld_metrics is not None and not FLAGS.interpolate:
             from smd_tpu.utils.logging import log_sampling_metrics
             log_sampling_metrics(ld_metrics, 0, log_dir)
+        if collection is None:
+            collection = generated[None]
         stats = evaluate(writer, real, collection, None, real)
         log_metrics(stats, 1, 1)
 

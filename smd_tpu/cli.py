@@ -95,7 +95,8 @@ def define_diffusion_flags():
     flags.DEFINE_float("ld_epsilon", 2e-6,
                        "Step size for annealed Langevin dynamics.")
     # Sampling
-    flags.DEFINE_enum("sampling", "ald", ["ald", "cas", "ddpm", "ddim"],
+    flags.DEFINE_enum("sampling", "ald",
+                      ["ald", "cas", "ddpm", "ddim", "dpmpp"],
                       "Sampling algorithm to use.")
     flags.DEFINE_integer("ddim_steps", 50,
                          "Number of strided steps for DDIM sampling.")

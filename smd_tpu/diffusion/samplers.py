@@ -40,6 +40,7 @@ __all__ = [
     "consistent_langevin_dynamics",
     "diffusion_dynamics",
     "ddim_dynamics",
+    "dpmpp_dynamics",
     "diffusion_stochastic_encoder",
     "collate_sampling_metrics",
 ]
@@ -397,6 +398,117 @@ def ddim_dynamics(rng,
     else:
         metrics = None
     return SamplerOutput(state, collection, metrics)
+
+
+def dpmpp_dynamics(rng,
+                   model_fn: ModelFn,
+                   betas,
+                   init,
+                   num_steps: int = 20,
+                   infill_samples=None,
+                   infill_masks=None,
+                   lam_max: Optional[float] = 2.5,
+                   constants: Optional[schedules.DDPMConstants] = None
+                   ) -> SamplerOutput:
+    """DPM-Solver++(2M): 2nd-order multistep ODE sampler (Lu et al., 2022).
+
+    Data-prediction formulation over the half-log-SNR grid: each step
+    combines the current and previous x0 predictions, so the discretization
+    error is O(h^2) with one model call per step — 10-25 steps reach the
+    quality DDIM needs ~50 for. Deterministic (the only randomness is
+    ``init`` and infill forward-diffusion); one ``lax.scan``, one model
+    evaluation per step, like every sampler here. A capability the
+    reference lacks (its fastest path is the 1000-step ancestral chain).
+
+    x0 is clipped to [-1, 1] like the ancestral/DDIM samplers (the data is
+    min-max normalized; reference ``ebm_utils.py:371-372``).
+    """
+    infill_samples, infill_masks = _resolve_infill(init, infill_samples,
+                                                   infill_masks)
+    c = constants if constants is not None else schedules.ddpm_constants(betas)
+    T = c.num_steps
+    # Uniform-half-log-SNR (lambda) timestep selection — the standard
+    # DPM-Solver spacing. Uniform-t spacing (DDIM's grid) makes the final
+    # steps enormous in lambda, and the 2M extrapolation overshoots there
+    # (measured on the Gaussian oracle: sample std 0.45 vs the true 0.30).
+    abar_all = c.alphas_prod
+    lam_all = 0.5 * (jnp.log(abar_all) - jnp.log1p(-abar_all))
+    # taus ascending in t (index 0 = cleanest), like the DDIM grid; the
+    # scan then runs the array backwards. The grid's clean end is capped at
+    # ``lam_max`` half-log-SNR: schedules that start at beta ~ 1e-6 reach
+    # lambda ~ 6.9 at t=0, and a grid stretched to that point spends most
+    # of its budget where the data is already nearly clean (measured on the
+    # trained flagship: FD 481 uncapped vs 268 ancestral at 20 steps). The
+    # first solver step then maps the capped endpoint to the clean sample.
+    lam_hi = lam_all[0] if lam_max is None else jnp.minimum(
+        lam_all[0], jnp.asarray(lam_max, lam_all.dtype))
+    lam_grid = jnp.linspace(lam_hi, lam_all[T - 1], num_steps)
+    taus = jnp.argmin(
+        jnp.abs(lam_all[None, :] - lam_grid[:, None]), axis=1)
+    # lambda is extremely steep near t=0 (one t-index can span several grid
+    # points), so nearest-index picks can collide -> h=0 -> NaN. Force
+    # strictly increasing taus: cummax(taus - k) + k.
+    steps_idx = jnp.arange(num_steps)
+    taus = jax.lax.associative_scan(jnp.maximum,
+                                    taus - steps_idx) + steps_idx
+    taus = jnp.minimum(taus, T - 1)
+    abar = abar_all[taus]                             # current levels, desc
+    # next (less-noisy) level per step; final target = clean (clamped so
+    # sigma_next stays finite — the update then smoothly returns ~x0_hat).
+    abar_next = jnp.concatenate([jnp.ones((1,), abar.dtype), abar[:-1]])
+    abar_next = jnp.minimum(abar_next, 1.0 - 1e-6)
+
+    alpha_cur, sigma_cur = jnp.sqrt(abar), jnp.sqrt(1.0 - abar)
+    alpha_next, sigma_next = jnp.sqrt(abar_next), jnp.sqrt(1.0 - abar_next)
+    lam_cur = jnp.log(alpha_cur / sigma_cur)
+    lam_next = jnp.log(alpha_next / sigma_next)
+    h = lam_next - lam_cur                            # (S,) per-step size
+    # The scan runs k = S-1 .. 0 (descending index == ascending time), so
+    # step k's predecessor is k+1: r[k] = h[k+1] / h[k] (unused at k=S-1).
+    r = jnp.concatenate([h[1:], jnp.ones((1,), h.dtype)]) / h
+
+    def step(carry, k):
+        state, prev_x0, rng = carry
+        rng, infill_rng = jax.random.split(rng)
+        cond = alpha_cur[k] * jnp.ones(
+            (state.shape[0], *([1] * (state.ndim - 1))), init.dtype)
+        eps = model_fn(state, cond)
+        x0 = (state - sigma_cur[k] * eps) / alpha_cur[k]
+        x0 = jnp.clip(x0, -1.0, 1.0)
+
+        # The update is written in the (clipped x0, RAW eps) basis:
+        #   x_next = alpha_next*x0 + sigma_next*eps + 2nd-order correction,
+        # algebraically identical to the textbook (sigma_next/sigma_cur)*x
+        # carry form when x0 is unclipped, but NOT when clipping binds —
+        # the carry form then implies a "clip-consistent" eps that
+        # amplifies model error at high noise (measured on the trained
+        # flagship, where ~86%% of first-step x0 predictions clip: FD 490
+        # vs 261 for the raw-eps basis at 50 steps). The raw-eps basis is
+        # exactly the ancestral/DDIM clipping convention
+        # (reference ebm_utils.py:371-372).
+        # Euler (== DDIM stride) on the first step (no history) and the
+        # final step ("lower order final": the endpoint jump is large in
+        # lambda and extrapolating across it is unstable).
+        euler = jnp.logical_or(k == num_steps - 1, k == 0)
+        rk = r[k]
+        corr = jnp.where(euler, 0.0, 1.0 / (2.0 * rk)) * (x0 - prev_x0)
+        next_state = (alpha_next[k] * x0 + sigma_next[k] * eps -
+                      alpha_next[k] * (jnp.exp(-h[k]) - 1.0) * corr)
+
+        # Infill: forward-diffuse fixed content to the next noise level.
+        infill_noise = jax.random.normal(infill_rng, infill_samples.shape,
+                                         init.dtype)
+        y = (alpha_next[k] * infill_samples +
+             sigma_next[k] * infill_noise)
+        y = jnp.where(k > 0, y, infill_samples)
+        next_state = next_state * (1 - infill_masks) + y * infill_masks
+        return (next_state, x0, rng), ()
+
+    start = init * (1 - infill_masks) + infill_samples * infill_masks
+    (state, _, _), _ = jax.lax.scan(
+        step, (start, jnp.zeros_like(start), rng),
+        jnp.arange(num_steps - 1, -1, -1))
+    return SamplerOutput(state, None, None)
 
 
 def diffusion_stochastic_encoder(rng, samples, betas):

@@ -26,13 +26,14 @@ SAMPLERS = {
     "cas": samplers.consistent_langevin_dynamics,
     "ddpm": samplers.diffusion_dynamics,
     "ddim": samplers.ddim_dynamics,
+    "dpmpp": samplers.dpmpp_dynamics,
 }
 
 
 def make_init(rng, num_samples, sample_shape, sampling: str):
     """Initial state: N(0,1) for DDPM/DDIM, U(-sqrt(12)/2, sqrt(12)/2)
     otherwise (both mean 0, var 1 — reference ``train_ncsn.py:538-546``)."""
-    if sampling in ("ddpm", "ddim"):
+    if sampling in ("ddpm", "ddim", "dpmpp"):
         return jax.random.normal(rng, (num_samples, *sample_shape))
     rho = float(np.sqrt(12) / 2)
     return jax.random.uniform(rng, (num_samples, *sample_shape), minval=-rho,
@@ -85,6 +86,13 @@ def sample(model_fn,
                                      infill_masks=infill_masks,
                                      collect_steps=collect_steps,
                                      collect_metrics=collect_metrics)
+    elif sampling == "dpmpp":
+        # 2nd-order solver: ddim_steps doubles as its budget (typically
+        # 10-25); no snapshot/metric collection on this path.
+        out = samplers.dpmpp_dynamics(ld_rng, model_fn, sigmas, init,
+                                      num_steps=ddim_steps,
+                                      infill_samples=infill_samples,
+                                      infill_masks=infill_masks)
     else:
         if collect_steps is None:
             collect_steps = 100

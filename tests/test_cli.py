@@ -72,6 +72,21 @@ def test_sample_ncsn_cli_unconditional(trained_toy, tmp_path):
 
 
 @pytest.mark.slow
+def test_sample_ncsn_cli_dpmpp(trained_toy, tmp_path):
+    """--sampling=dpmpp drives the 2nd-order solver through the CLI."""
+    sampling_dir = str(tmp_path / "samples")
+    _run(["sample_ncsn.py"] + trained_toy + [
+        f"--sampling_dir={sampling_dir}", "--sample_size=32",
+        "--sampling=dpmpp", "--ddim_steps=8",
+        "--sample_seed=1", "--flush", "--nocompute_metrics",
+    ])
+    gen = pickle.load(
+        open(os.path.join(sampling_dir, "ncsn", "generated.pkl"), "rb"))
+    assert gen.shape == (32, 2)
+    assert np.isfinite(gen).all()
+
+
+@pytest.mark.slow
 def test_sample_ncsn_cli_infill(trained_toy, tmp_path):
     sampling_dir = str(tmp_path / "infill")
     _run(["sample_ncsn.py"] + trained_toy + [

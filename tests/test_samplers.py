@@ -235,3 +235,55 @@ def test_ald_collect_every_step(rng):
     assert col.shape == (37, 4, 2)
     for s in range(1, 37):
         assert np.abs(col[s]).sum() > 0, f"slot {s} never written"
+
+
+def test_dpmpp_oracle_contracts_to_zero(rng):
+    """DPM-Solver++(2M) with the point-mass oracle converges in 15 steps."""
+    betas = schedules.noise_schedule(1e-6, 0.01, 1000, "linear")
+    init = jax.random.normal(jax.random.PRNGKey(4), (256, 8))
+    out = samplers.dpmpp_dynamics(rng, _zero_data_eps, betas, init,
+                                  num_steps=15)
+    x = np.asarray(out.state)
+    assert np.abs(x).mean() < 0.05
+    assert out.collection is None and out.metrics is None
+
+
+def test_dpmpp_deterministic(rng):
+    betas = schedules.noise_schedule(1e-6, 0.01, 200, "linear")
+    init = jax.random.normal(jax.random.PRNGKey(1), (16, 4))
+    o1 = samplers.dpmpp_dynamics(jax.random.PRNGKey(7), _zero_data_eps,
+                                 betas, init, num_steps=12)
+    o2 = samplers.dpmpp_dynamics(jax.random.PRNGKey(8), _zero_data_eps,
+                                 betas, init, num_steps=12)
+    np.testing.assert_allclose(np.asarray(o1.state), np.asarray(o2.state),
+                               atol=1e-6)
+
+
+def test_dpmpp_matches_gaussian_statistics_fewer_steps(rng):
+    """The 2nd-order solver reaches DDIM-100 statistics with 20 steps."""
+    betas = schedules.noise_schedule(1e-6, 0.01, 1000, "linear")
+    s2 = 0.3**2
+
+    def gauss_eps(x, cond):
+        abar = cond**2
+        var = s2 * abar + (1 - abar)
+        return jnp.sqrt(1 - abar) / var * x
+
+    init = jax.random.normal(jax.random.PRNGKey(5), (4096, 2))
+    out = samplers.dpmpp_dynamics(rng, gauss_eps, betas, init, num_steps=20)
+    x = np.asarray(out.state)
+    assert abs(x.mean()) < 0.03
+    assert abs(x.std() - 0.3) < 0.05
+
+
+def test_dpmpp_infill(rng):
+    betas = schedules.noise_schedule(1e-6, 0.01, 500, "linear")
+    init = jax.random.normal(jax.random.PRNGKey(2), (8, 16, 4))
+    target = jnp.full((8, 16, 4), 0.3)
+    masks = jnp.zeros((8, 16, 4)).at[:, :4].set(1.0)
+    out = samplers.dpmpp_dynamics(rng, _zero_data_eps, betas, init,
+                                  num_steps=15, infill_samples=target,
+                                  infill_masks=masks)
+    x = np.asarray(out.state)
+    np.testing.assert_allclose(x[:, :4], 0.3, atol=1e-5)
+    assert np.abs(x[:, 4:]).mean() < 0.05
