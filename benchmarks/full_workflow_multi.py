@@ -72,10 +72,7 @@ def main():
     windows = []
     per_song_chunks = []
     for ns in songs:
-        chunks = conv.to_tensors(ns).inputs
-        per_song_chunks.append(chunks)
-        if len(chunks) < args.window:
-            continue
+        per_song_chunks.append(conv.to_tensors(ns).inputs)
     flat = [c for chunks in per_song_chunks for c in chunks]
     mus = []
     Bsz = 256
@@ -106,6 +103,8 @@ def main():
     results["encode"] = {"chunks": int(len(flat)),
                         "windows": int(len(data)),
                         "seconds": round(time.time() - t0, 1)}
+    # A small corpus can yield fewer windows than the requested eval size.
+    args.eval_n = min(args.eval_n, len(data_n))
 
     # ---- 3. train the diffusion model -----------------------------------
     t0 = time.time()

@@ -59,6 +59,29 @@ def normalize_config(cfg) -> MusicVAEConfig:
     return MusicVAEConfig(**kwargs)
 
 
+def normalize_params(params):
+    """Upgrade param trees from bundles pickled before layout renames.
+
+    The single-layer conductor LSTM was once named ``lstm``; the stacked
+    conductor renamed it ``lstm_0`` (``ConductorCell``). ``normalize_config``
+    fixes the config of such bundles but not the param tree — rename here so
+    old hierarchical artifacts keep loading.
+    """
+    try:
+        cell = params["params"]["conductor"]["cell"]
+    except (KeyError, TypeError):
+        return params
+    if "lstm" in cell and "lstm_0" not in cell:
+        import flax
+        # freeze->unfreeze yields fresh plain dicts at every level (works
+        # for dict and FrozenDict inputs), so renaming cannot mutate the
+        # caller's tree.
+        params = flax.core.unfreeze(flax.core.freeze(params))
+        cell = params["params"]["conductor"]["cell"]
+        cell["lstm_0"] = cell.pop("lstm")
+    return params
+
+
 MEL_2BAR_BIG = MusicVAEConfig()
 MEL_16BAR_HIERDEC = MusicVAEConfig(max_seq_len=256, hier_segments=16)
 
@@ -311,7 +334,13 @@ class MusicVAE(nn.Module):
             # embeddings, so fold them into the batch axis: one seg_len-step
             # scan at batch B*segments instead of a Python loop of decodes.
             S = cfg.hier_segments
-            seg_len = (length or cfg.max_seq_len) // S
+            total = length or cfg.max_seq_len
+            if total % S:
+                raise ValueError(
+                    f"Hierarchical decode length {total} must divide by "
+                    f"hier_segments={S} (it would otherwise silently "
+                    f"truncate the rollout to {total // S * S} steps)")
+            seg_len = total // S
             embeddings = self.conductor(z)            # (B, S, latent)
             B = z.shape[0]
             flat = embeddings.reshape(B * S, cfg.latent_dims)
@@ -399,7 +428,7 @@ class TrainedMusicVAE:
         # scripts/train_musicvae.py as well as bare param pytrees.
         if isinstance(params, dict) and {"params", "config"} <= set(params):
             config = normalize_config(params["config"])
-            params = params["params"]
+            params = normalize_params(params["params"])
         if params is not None:
             # Half-precision artifacts are restored to fp32 for compute.
             params = jax.tree_util.tree_map(

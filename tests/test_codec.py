@@ -306,3 +306,60 @@ def test_conductor_layers_and_old_config_normalization():
     old = Old(**{f.name: getattr(cfg, f.name) for f in old_fields})
     norm = mv.normalize_config(old)
     assert norm.conductor_layers == 1 and norm.conductor_units == 12
+
+
+def test_normalize_params_renames_old_conductor_lstm():
+    """Bundles pickled when the 1-layer conductor param was named "lstm"
+    must load against the current "lstm_0" layout (ADVICE r2)."""
+    import jax
+    import jax.numpy as jnp
+    from smd_tpu.codec import musicvae as mv
+
+    cfg = mv.MusicVAEConfig(latent_dims=8, enc_units=8, dec_units=(8,),
+                            depth=10, max_seq_len=32, hier_segments=4,
+                            conductor_units=12, conductor_layers=1)
+    model = mv.MusicVAE(cfg)
+    x = jnp.zeros((2, 32, 10))
+    rng = jax.random.PRNGKey(0)
+    params = model.init({"params": rng}, x, rng)
+
+    # Fabricate the old layout: rename lstm_0 -> lstm.
+    import flax
+    old = flax.core.unfreeze(flax.core.freeze(params))
+    cell = old["params"]["conductor"]["cell"]
+    cell["lstm"] = cell.pop("lstm_0")
+
+    fixed = mv.normalize_params(old)
+    assert "lstm_0" in fixed["params"]["conductor"]["cell"]
+    assert "lstm" not in fixed["params"]["conductor"]["cell"]
+    # the input tree is untouched
+    assert "lstm" in old["params"]["conductor"]["cell"]
+    logits, mu, sigma = model.apply(fixed, x, rng)
+    assert logits.shape == (2, 32, 10)
+    # non-hier trees pass through unchanged
+    flat_params = {"params": {"encoder": {}}}
+    assert mv.normalize_params(flat_params) is flat_params
+
+
+def test_hier_decode_length_divisibility_guard():
+    """A decode length that does not divide hier_segments must fail loudly
+    instead of silently truncating the rollout (VERDICT r2 weak #5)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest as _pytest
+    from smd_tpu.codec import musicvae as mv
+
+    cfg = mv.MusicVAEConfig(latent_dims=8, enc_units=8, dec_units=(8,),
+                            depth=10, max_seq_len=32, hier_segments=4,
+                            conductor_units=12)
+    model = mv.MusicVAE(cfg)
+    x = jnp.zeros((2, 32, 10))
+    rng = jax.random.PRNGKey(0)
+    params = model.init({"params": rng}, x, rng)
+    with _pytest.raises(ValueError, match="divide"):
+        model.apply(params, jnp.zeros((2, 8)), rng, length=30,
+                    method=mv.MusicVAE.decode)
+    # divisible lengths still work
+    logits, samples = model.apply(params, jnp.zeros((2, 8)), rng, length=16,
+                                  method=mv.MusicVAE.decode)
+    assert samples.shape == (2, 16)
