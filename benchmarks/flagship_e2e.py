@@ -38,12 +38,20 @@ def main():
     parser.add_argument("--steps", type=int, default=2000)
     parser.add_argument("--batch", type=int, default=64)
     parser.add_argument("--eval_n", type=int, default=1000)
+    parser.add_argument("--distill_stage_steps", type=int, default=1500,
+                        help="Optimizer steps per progressive-distillation "
+                        "stage (0 disables the distilled rows).")
+    parser.add_argument("--distill_start", type=int, default=64)
+    parser.add_argument("--mdn_steps", type=int, default=3000,
+                        help="TransformerMDN training steps for the MDN "
+                        "quality row (0 disables it).")
     args = parser.parse_args()
 
     from smd_tpu.diffusion import samplers, schedules
     from smd_tpu.eval import metrics
     from smd_tpu.models import get_model
     from smd_tpu.training import diffusion as trainer
+    from smd_tpu.training import distill
 
     rng_np = np.random.default_rng(1)
     model = get_model("TransformerDDPM", num_layers=6, num_heads=8,
@@ -119,6 +127,44 @@ def main():
                "train_steps_per_sec": round(args.steps / train_time, 2),
                "loss_start": round(loss0, 4), "loss_end": round(lossN, 4)}
 
+    # Progressive distillation: halve 64 -> 2 sampler steps, then report
+    # 4- and 2-step rows through the bf16 serving path (the VERDICT r2
+    # target: FD <= DDIM-50 at 2-4 steps).
+    distilled_rows = []
+    if args.distill_stage_steps > 0:
+        t0 = time.time()
+
+        def batches():
+            rng = np.random.default_rng(11)
+            while True:
+                yield make_data(args.batch, rng)
+
+        stages = distill.progressive_distill(
+            model, params, betas, batches(),
+            start_steps=args.distill_start, end_steps=2,
+            steps_per_stage=args.distill_stage_steps, learning_rate=1e-4,
+            seed=2)
+        results["distill_seconds"] = round(time.time() - t0, 1)
+        for n in (4, 2):
+            st = stages[n]
+            st_bf16 = jax.tree_util.tree_map(
+                lambda p: jnp.asarray(p, jnp.bfloat16), st["params"])
+            st_fn = (lambda x, c, sp=st_bf16: serve_model.apply(
+                sp, x.astype(jnp.bfloat16),
+                c.astype(jnp.bfloat16)).astype(jnp.float32))
+            grid = jnp.asarray(st["grid"])
+            distilled_rows.append(
+                (f"distilled_{n}",
+                 lambda k, x, fn=st_fn, g=grid:
+                 samplers.distilled_ddim_dynamics(k, fn, g, x).state))
+            # Zero-training control: the UNdistilled base model driven over
+            # the same lambda-capped grid — isolates how much of the
+            # few-step win is the grid vs. the distillation itself.
+            distilled_rows.append(
+                (f"base_on_grid_{n}",
+                 lambda k, x, g=grid: samplers.distilled_ddim_dynamics(
+                     k, serve_fn, g, x, clip_x0=True).state))
+
     for name, fn in [
         ("ancestral_T1000", lambda k, x: samplers.diffusion_dynamics(
             k, model_fn, betas, x, collect_steps=0, collect_metrics=False,
@@ -135,7 +181,7 @@ def main():
         ("ancestral_T1000_int8head", lambda k, x: samplers.diffusion_dynamics(
             k, quant_fn, betas, x, collect_steps=0, collect_metrics=False,
             constants=consts).state),
-    ]:
+    ] + distilled_rows:
         f = jax.jit(fn)
         f(jax.random.PRNGKey(6), init).block_until_ready()  # compile
         t0 = time.time()
@@ -148,6 +194,51 @@ def main():
         results[name] = {"seconds": round(dt, 2),
                          "fd": round(fd, 4),
                          "fd_random_baseline": round(fd_noise, 4)}
+
+    # Third model family, evaluated for QUALITY (VERDICT r2 item 6: the MDN
+    # path previously had only throughput proof): train the TransformerMDN
+    # on the same latent distribution and report decode FD next to the
+    # diffusion rows. Reference contract: sample_mdn.py:54-121 decodes and
+    # sample_ncsn.py:142-170 evaluates generated latents model-agnostically.
+    if args.mdn_steps > 0:
+        from smd_tpu.sampling.mdn_decode import ar_decode_cached
+        from smd_tpu.training import mdn as mdn_trainer
+        mdn_model = get_model("TransformerMDN", num_layers=6, num_heads=8,
+                              num_mlp_layers=2, mlp_dims=2048,
+                              mdn_mixtures=100)
+        mdn_config = trainer.TrainConfig(learning_rate=3e-4,
+                                         batch_size=args.batch, ema=False,
+                                         lr_warmup=500)
+        mdn_state = mdn_trainer.create_train_state(
+            jax.random.PRNGKey(21), mdn_model, (args.batch, 32, 42),
+            mdn_config)
+        mdn_step = mdn_trainer.make_train_step(mdn_model)
+        t0 = time.time()
+        for i in range(args.mdn_steps):
+            mdn_state, m = mdn_step(mdn_state,
+                                    jnp.asarray(make_data(args.batch,
+                                                          rng_np)))
+            if i % 500 == 0:
+                print(f"mdn step {i}: nll {float(m['loss']):.4f}",
+                      file=sys.stderr)
+        results["mdn_train"] = {
+            "steps": args.mdn_steps,
+            "nll_end": round(float(m["loss"]), 4),
+            "seconds": round(time.time() - t0, 1)}
+        decode = jax.jit(lambda k: ar_decode_cached(
+            k, mdn_model, mdn_state.params, args.eval_n, steps=32,
+            channels=42))
+        decode(jax.random.PRNGKey(30)).block_until_ready()
+        t0 = time.time()
+        mdn_gen = decode(jax.random.PRNGKey(31))
+        mdn_gen.block_until_ready()
+        dt = time.time() - t0
+        results["mdn_cached_decode"] = {
+            "seconds": round(dt, 2),
+            "fd": round(metrics.frechet_distance(
+                real, np.asarray(mdn_gen)), 4),
+            "fd_random_baseline": round(metrics.frechet_distance(
+                real, np.random.default_rng(3).normal(size=real.shape)), 4)}
     print(json.dumps(results, indent=2))
 
 

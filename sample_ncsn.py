@@ -21,8 +21,15 @@ cli.define_diffusion_flags()
 cli.define_sampling_flags()
 
 
-def evaluate(writer, real, collection, baseline, valid_real):
-    """Metric sweep over sampling-time snapshots (ref ``sample_ncsn.py:69``)."""
+def evaluate(writer, real, collection, baseline, valid_real,
+             has_init: bool = True):
+    """Metric sweep over sampling-time snapshots (ref ``sample_ncsn.py:69``).
+
+    ``has_init=False`` marks a collection synthesized from final samples
+    only (collection-free samplers like dpmpp): the init-PRD "noise"
+    baseline curve is skipped rather than mislabeling the final samples
+    as the initial noise.
+    """
     from smd_tpu.eval import metrics, plots
 
     assert collection.shape[1:] == real.shape
@@ -34,8 +41,8 @@ def evaluate(writer, real, collection, baseline, valid_real):
     random_points = [np.random.randn(*collection[0].shape)]
     real_points = [valid_real]
 
-    init = collection[0]
-    prd_init = metrics.precision_recall_distribution(real, init)
+    prd_init = (metrics.precision_recall_distribution(real, collection[0])
+                if has_init else None)
     prd_perfect = metrics.precision_recall_distribution(real, real)
 
     stats = {}
@@ -53,8 +60,11 @@ def evaluate(writer, real, collection, baseline, valid_real):
 
             prd_dist = metrics.precision_recall_distribution(real, samples)
             import io as _io
-            fig = metrics.prd.plot([prd_dist, prd_init, prd_perfect],
-                                   [model_name, "noise", "real"])
+            curves = [prd_dist, prd_init, prd_perfect]
+            labels = [model_name, "noise", "real"]
+            if prd_init is None:
+                curves, labels = [prd_dist, prd_perfect], [model_name, "real"]
+            fig = metrics.prd.plot(curves, labels)
             buf = _io.BytesIO()
             fig.savefig(buf, format="png")
             import matplotlib.pyplot as plt
@@ -82,6 +92,12 @@ def evaluate(writer, real, collection, baseline, valid_real):
                              ("mmd_polynomial", mmd_poly)]:
                 writer.scalar(f"{log_dir}{tag}", val, i)
 
+            # Deliberate reference-quirk parity (ref sample_ncsn.py:85-91,
+            # verified round 1): the returned stats are whatever the LAST
+            # loop iteration computed — the "real" baseline's metrics, not
+            # the model's. Every per-model value is still written to
+            # TensorBoard above. Do not "fix" without deciding to change
+            # behavior.
             stats = {
                 "precision": precision, "recall": recall, "f1": f1,
                 "improved_precision": improved_p,
@@ -115,10 +131,29 @@ def main(argv):
     real = eval_ds.take_examples(FLAGS.sample_size)
     shape = real[0].shape
 
-    model, state = cli.restore_state_for_sampling(shape)
-    params = state.sampling_params if FLAGS.ema else state.params
-    # --sampling_dtype=bfloat16 (default) serves the measured-fastest path.
-    model_fn = cli.serving_model_fn(params)
+    distill_grid = None
+    if FLAGS.sampling == "distilled":
+        # Distilled stages are standalone bundles written by
+        # ``train_ncsn.py --distill``; --ddim_steps selects the stage.
+        bundle_path = os.path.join(FLAGS.model_dir, "distilled",
+                                   f"{FLAGS.ddim_steps}.pkl")
+        if not os.path.exists(bundle_path):
+            import glob
+            have = sorted(int(os.path.splitext(os.path.basename(p))[0])
+                          for p in glob.glob(os.path.join(
+                              FLAGS.model_dir, "distilled", "*.pkl")))
+            raise FileNotFoundError(
+                f"No {FLAGS.ddim_steps}-step distilled stage at "
+                f"{bundle_path}; available stages: {have or 'none'} "
+                f"(train with train_ncsn.py --distill)")
+        bundle = io_lib.load(bundle_path)
+        params, distill_grid = bundle["params"], bundle["grid"]
+        model_fn = cli.serving_model_fn(params)
+    else:
+        model, state = cli.restore_state_for_sampling(shape)
+        params = state.sampling_params if FLAGS.ema else state.params
+        # --sampling_dtype=bfloat16 (default) serves the fastest path.
+        model_fn = cli.serving_model_fn(params)
     sigmas = cli.schedule_from_flags()
     rng = jax.random.PRNGKey(FLAGS.sample_seed)
 
@@ -130,7 +165,8 @@ def main(argv):
             sampling=FLAGS.sampling, epsilon=FLAGS.ld_epsilon,
             steps=FLAGS.ld_steps, denoise=FLAGS.denoise,
             infill_samples=samples, infill_masks=masks,
-            ddim_steps=FLAGS.ddim_steps, ddim_eta=FLAGS.ddim_eta)
+            ddim_steps=FLAGS.ddim_steps, ddim_eta=FLAGS.ddim_eta,
+            distill_grid=distill_grid)
     elif FLAGS.interpolate:
         generated, collection, ld_metrics = generate.interpolate(
             model_fn, sigmas, rng, real)
@@ -140,12 +176,24 @@ def main(argv):
             model_fn, sigmas, rng, shape, num_samples=len(real),
             sampling=FLAGS.sampling, epsilon=FLAGS.ld_epsilon,
             steps=FLAGS.ld_steps, denoise=FLAGS.denoise,
-            ddim_steps=FLAGS.ddim_steps, ddim_eta=FLAGS.ddim_eta)
+            ddim_steps=FLAGS.ddim_steps, ddim_eta=FLAGS.ddim_eta,
+            distill_grid=distill_grid)
     logging.info("Generated samples in %f seconds", time.time() - t0)
 
     generated = np.asarray(generated)
     # dpmpp is a pure low-step production path: no snapshot collection.
     collection = np.asarray(collection) if collection is not None else None
+    if collection is None and not FLAGS.interpolate:
+        if FLAGS.animate:
+            logging.warning(
+                "--animate requested but --sampling=%s collects no "
+                "intermediate snapshots; no animation will be written. "
+                "Use --sampling=ddim/ddpm for animations.", FLAGS.sampling)
+        if FLAGS.compute_metrics and not FLAGS.compute_final_only:
+            logging.warning(
+                "--sampling=%s collects no intermediate snapshots: metrics "
+                "cover the final samples only (the per-snapshot sweep and "
+                "the init-noise PRD baseline are skipped).", FLAGS.sampling)
 
     if FLAGS.animate and shape[-1] == 2 and collection is not None:
         buf = plots.animate_scatter_2d(collection[::2], fps=240)
@@ -172,9 +220,11 @@ def main(argv):
         if ld_metrics is not None and not FLAGS.interpolate:
             from smd_tpu.utils.logging import log_sampling_metrics
             log_sampling_metrics(ld_metrics, 0, log_dir)
+        has_init = collection is not None
         if collection is None:
             collection = generated[None]
-        stats = evaluate(writer, real, collection, None, real)
+        stats = evaluate(writer, real, collection, None, real,
+                         has_init=has_init)
         log_metrics(stats, 1, 1)
 
 

@@ -96,8 +96,29 @@ def define_diffusion_flags():
                        "Step size for annealed Langevin dynamics.")
     # Sampling
     flags.DEFINE_enum("sampling", "ald",
-                      ["ald", "cas", "ddpm", "ddim", "dpmpp"],
-                      "Sampling algorithm to use.")
+                      ["ald", "cas", "ddpm", "ddim", "dpmpp", "distilled"],
+                      "Sampling algorithm to use. 'distilled' samples a "
+                      "progressively distilled stage (train one with "
+                      "--distill); --ddim_steps selects the stage.")
+    # Progressive distillation (train_ncsn.py --distill; a capability the
+    # reference lacks — its fastest sampler is the 1000-step chain).
+    flags.DEFINE_boolean(
+        "distill", False,
+        "Progressively distill the latest checkpoint for few-step sampling "
+        "instead of training: stages halve from --distill_start_steps down "
+        "to --distill_end_steps, each saved to "
+        "<model_dir>/distilled/<steps>.pkl.")
+    flags.DEFINE_integer("distill_start_steps", 64,
+                         "First (largest) distilled sampler step count.")
+    flags.DEFINE_integer("distill_end_steps", 2,
+                         "Final (smallest) distilled sampler step count.")
+    flags.DEFINE_integer("distill_stage_steps", 2000,
+                         "Optimizer steps per distillation stage.")
+    flags.DEFINE_float("distill_lr", 1e-4,
+                       "Learning rate for distillation stages.")
+    flags.DEFINE_float("distill_lam_max", 2.5,
+                       "Half-log-SNR cap for the distillation grid's clean "
+                       "end (see docs/DESIGN.md on DPM-Solver++ grids).")
     flags.DEFINE_integer("ddim_steps", 50,
                          "Number of strided steps for DDIM sampling.")
     flags.DEFINE_float("ddim_eta", 0.0,
@@ -190,7 +211,10 @@ def serving_model_fn(params, mdn: bool = False):
         return lambda x, cond: model.apply(
             bf_params, x.astype(jnp.bfloat16),
             cond.astype(jnp.bfloat16)).astype(jnp.float32)
-    model = model_from_flags(mdn=mdn)
+    # Explicit fp32: --sampling_dtype=float32 must override a
+    # --mixed_precision flag inherited from a shared train flagfile
+    # (model_from_flags would otherwise build a bf16-compute model).
+    model = model_from_flags(mdn=mdn, dtype=jnp.float32)
     return lambda x, cond: model.apply(params, x, cond)
 
 

@@ -41,6 +41,7 @@ __all__ = [
     "diffusion_dynamics",
     "ddim_dynamics",
     "dpmpp_dynamics",
+    "distilled_ddim_dynamics",
     "diffusion_stochastic_encoder",
     "collate_sampling_metrics",
 ]
@@ -451,6 +452,10 @@ def dpmpp_dynamics(rng,
     steps_idx = jnp.arange(num_steps)
     taus = jax.lax.associative_scan(jnp.maximum,
                                     taus - steps_idx) + steps_idx
+    # The T-1 clamp below can reintroduce duplicate taus when num_steps
+    # approaches the number of distinct t-indices in the capped lambda
+    # range (small-T schedules with large step budgets) — those steps get
+    # h == 0 and are handled by the degenerate-step guard on ``h``/``r``.
     taus = jnp.minimum(taus, T - 1)
     abar = abar_all[taus]                             # current levels, desc
     # next (less-noisy) level per step; final target = clean (clamped so
@@ -465,7 +470,15 @@ def dpmpp_dynamics(rng,
     h = lam_next - lam_cur                            # (S,) per-step size
     # The scan runs k = S-1 .. 0 (descending index == ascending time), so
     # step k's predecessor is k+1: r[k] = h[k+1] / h[k] (unused at k=S-1).
-    r = jnp.concatenate([h[1:], jnp.ones((1,), h.dtype)]) / h
+    # Degenerate-step guard: duplicate taus (see clamp above) give h == 0,
+    # and 0/0 or x/0 in r would poison the whole chain with NaNs even
+    # though the correction term they feed is multiplied by
+    # (exp(-h) - 1) == 0. Substitute a finite r there and force those
+    # steps onto the (exact, history-free) Euler branch.
+    h_zero = h == 0
+    h_prev = jnp.concatenate([h[1:], jnp.ones((1,), h.dtype)])
+    r = jnp.where(h_zero | (h_prev == 0), 1.0,
+                  h_prev / jnp.where(h_zero, 1.0, h))
 
     def step(carry, k):
         state, prev_x0, rng = carry
@@ -489,7 +502,7 @@ def dpmpp_dynamics(rng,
         # Euler (== DDIM stride) on the first step (no history) and the
         # final step ("lower order final": the endpoint jump is large in
         # lambda and extrapolating across it is unstable).
-        euler = jnp.logical_or(k == num_steps - 1, k == 0)
+        euler = (k == num_steps - 1) | (k == 0) | h_zero[k]
         rk = r[k]
         corr = jnp.where(euler, 0.0, 1.0 / (2.0 * rk)) * (x0 - prev_x0)
         next_state = (alpha_next[k] * x0 + sigma_next[k] * eps -
@@ -508,6 +521,58 @@ def dpmpp_dynamics(rng,
     (state, _, _), _ = jax.lax.scan(
         step, (start, jnp.zeros_like(start), rng),
         jnp.arange(num_steps - 1, -1, -1))
+    return SamplerOutput(state, None, None)
+
+
+def distilled_ddim_dynamics(rng,
+                            model_fn: ModelFn,
+                            grid,
+                            init,
+                            infill_samples=None,
+                            infill_masks=None,
+                            clip_x0: bool = False) -> SamplerOutput:
+    """Few-step sampler for a progressively distilled model.
+
+    ``grid`` is the ``(N+1,)`` alpha-bar boundary array the student was
+    distilled on (``training.distill.distill_grid`` / the ``grid`` entry of
+    ``progressive_distill``'s results): one DDIM jump per boundary pair,
+    noisiest to clean, exactly the step the student was trained to take.
+    One ``lax.scan``, one model call per step. ``clip_x0`` defaults off —
+    distillation targets are not confined to [-1, 1], so clipping at
+    sampling time would deviate from the trained mapping.
+
+    A capability the reference lacks (its fastest path is the 1000-step
+    ancestral chain, ``ebm_utils.py:274-405``).
+    """
+    infill_samples, infill_masks = _resolve_infill(init, infill_samples,
+                                                   infill_masks)
+    grid = jnp.asarray(grid)
+    num_steps = grid.shape[0] - 1
+    alphas = jnp.sqrt(grid)
+    sigmas = jnp.sqrt(1.0 - grid)
+
+    def step(carry, i):
+        state, rng = carry
+        rng, infill_rng = jax.random.split(rng)
+        cond = alphas[i] * jnp.ones(
+            (state.shape[0], *([1] * (state.ndim - 1))), init.dtype)
+        eps = model_fn(state, cond)
+        x0 = (state - sigmas[i] * eps) / alphas[i]
+        if clip_x0:
+            x0 = jnp.clip(x0, -1.0, 1.0)
+        next_state = alphas[i + 1] * x0 + sigmas[i + 1] * eps
+
+        # Infill: forward-diffuse fixed content to the next level (clean on
+        # the final step).
+        infill_noise = jax.random.normal(infill_rng, infill_samples.shape,
+                                         init.dtype)
+        y = alphas[i + 1] * infill_samples + sigmas[i + 1] * infill_noise
+        y = jnp.where(i < num_steps - 1, y, infill_samples)
+        next_state = next_state * (1 - infill_masks) + y * infill_masks
+        return (next_state, rng), ()
+
+    start = init * (1 - infill_masks) + infill_samples * infill_masks
+    (state, _), _ = jax.lax.scan(step, (start, rng), jnp.arange(num_steps))
     return SamplerOutput(state, None, None)
 
 

@@ -27,13 +27,14 @@ SAMPLERS = {
     "ddpm": samplers.diffusion_dynamics,
     "ddim": samplers.ddim_dynamics,
     "dpmpp": samplers.dpmpp_dynamics,
+    "distilled": samplers.distilled_ddim_dynamics,
 }
 
 
 def make_init(rng, num_samples, sample_shape, sampling: str):
     """Initial state: N(0,1) for DDPM/DDIM, U(-sqrt(12)/2, sqrt(12)/2)
     otherwise (both mean 0, var 1 — reference ``train_ncsn.py:538-546``)."""
-    if sampling in ("ddpm", "ddim", "dpmpp"):
+    if sampling in ("ddpm", "ddim", "dpmpp", "distilled"):
         return jax.random.normal(rng, (num_samples, *sample_shape))
     rho = float(np.sqrt(12) / 2)
     return jax.random.uniform(rng, (num_samples, *sample_shape), minval=-rho,
@@ -54,7 +55,8 @@ def sample(model_fn,
            collect_steps: Optional[int] = None,
            collect_metrics: bool = True,
            ddim_steps: int = 50,
-           ddim_eta: float = 0.0):
+           ddim_eta: float = 0.0,
+           distill_grid=None):
     """Generate samples with the chosen dynamics.
 
     Returns (generated, collection, ld_metrics) matching the reference's
@@ -86,6 +88,15 @@ def sample(model_fn,
                                      infill_masks=infill_masks,
                                      collect_steps=collect_steps,
                                      collect_metrics=collect_metrics)
+    elif sampling == "distilled":
+        # Few-step progressive-distillation sampler: ``distill_grid`` is
+        # the boundary array saved with the distilled stage.
+        if distill_grid is None:
+            raise ValueError("sampling='distilled' needs the stage's "
+                             "distill_grid (see training.distill)")
+        out = samplers.distilled_ddim_dynamics(
+            ld_rng, model_fn, distill_grid, init,
+            infill_samples=infill_samples, infill_masks=infill_masks)
     elif sampling == "dpmpp":
         # 2nd-order solver: ddim_steps doubles as its budget (typically
         # 10-25); no snapshot/metric collection on this path.

@@ -276,6 +276,23 @@ def test_dpmpp_matches_gaussian_statistics_fewer_steps(rng):
     assert abs(x.std() - 0.3) < 0.05
 
 
+def test_dpmpp_degenerate_grid_no_nans(rng):
+    """num_steps near/beyond the distinct-index budget must stay finite.
+
+    Small-T schedules with large step budgets make the T-1 clamp
+    reintroduce duplicate taus (h == 0); the degenerate-step guard must
+    keep the chain NaN-free and still contract the point-mass oracle.
+    """
+    betas = schedules.noise_schedule(1e-6, 0.01, 24, "linear")
+    init = jax.random.normal(jax.random.PRNGKey(3), (64, 4))
+    for num_steps in (20, 24, 40):
+        out = samplers.dpmpp_dynamics(rng, _zero_data_eps, betas, init,
+                                      num_steps=num_steps)
+        x = np.asarray(out.state)
+        assert np.isfinite(x).all(), f"NaNs at num_steps={num_steps}"
+        assert np.abs(x).mean() < 0.1
+
+
 def test_dpmpp_infill(rng):
     betas = schedules.noise_schedule(1e-6, 0.01, 500, "linear")
     init = jax.random.normal(jax.random.PRNGKey(2), (8, 16, 4))

@@ -96,6 +96,54 @@ def snapshot_sampling_callback(model, sigmas, train_ds, eval_ds, writer,
     return callback
 
 
+def run_distillation(train_ds, eval_ds):
+    """``--distill``: progressively distill the latest checkpoint down to
+    few-step sampling (``smd_tpu.training.distill``); each stage's params +
+    grid land in ``<model_dir>/distilled/<steps>.pkl`` for
+    ``sample_ncsn.py --sampling=distilled``."""
+    import os
+
+    import numpy as np
+
+    from smd_tpu.training import distill
+    from smd_tpu.utils import io as io_lib
+
+    sample_batch = next(iter(eval_ds))
+    input_shape = sample_batch.shape[1:]
+    model, state = cli.restore_state_for_sampling(input_shape)
+    params = state.sampling_params if FLAGS.ema else state.params
+    betas = cli.schedule_from_flags()
+
+    def batches():
+        while True:
+            for batch in train_ds:
+                if batch.shape[0] == FLAGS.batch_size:
+                    yield np.asarray(batch)
+
+    def log_fn(stage_steps, step, loss):
+        logging.info("distill stage %d-step | step %d | loss %.5f",
+                     stage_steps, step, loss)
+
+    stages = distill.progressive_distill(
+        model, params, betas, batches(),
+        start_steps=FLAGS.distill_start_steps,
+        end_steps=FLAGS.distill_end_steps,
+        steps_per_stage=FLAGS.distill_stage_steps,
+        learning_rate=FLAGS.distill_lr,
+        lam_max=FLAGS.distill_lam_max,
+        seed=FLAGS.seed,
+        log_fn=log_fn if FLAGS.verbose else None)
+
+    out_dir = os.path.join(FLAGS.model_dir, "distilled")
+    for num_steps, stage in stages.items():
+        bundle = {"params": stage["params"],
+                  "grid": np.asarray(stage["grid"]),
+                  "num_steps": num_steps}
+        io_lib.save(bundle, os.path.join(out_dir, f"{num_steps}.pkl"))
+        logging.info("Saved %d-step distilled stage to %s/%d.pkl",
+                     num_steps, out_dir, num_steps)
+
+
 def main(argv):
     del argv
     logging.info(FLAGS.flags_into_string())
@@ -108,6 +156,9 @@ def main(argv):
 
     process_index, _ = cli.initialize_from_flags()
     train_ds, eval_ds = cli.dataset_from_flags()
+    if FLAGS.distill:
+        run_distillation(train_ds, eval_ds)
+        return
     sigmas = cli.schedule_from_flags()
     model = cli.model_from_flags()
     config = cli.train_config_from_flags()
