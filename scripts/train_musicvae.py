@@ -27,8 +27,10 @@ from absl import app, flags, logging
 
 FLAGS = flags.FLAGS
 flags.DEFINE_string("input", None, "Glob of input MIDI files.")
-flags.DEFINE_enum("mode", "melody", ["melody", "multi"],
+flags.DEFINE_enum("mode", "melody", ["melody", "melody16", "multi"],
                   "melody: 2-bar monophonic chunks (cat-mel_2bar family). "
+                  "melody16: 16-bar chunks with a 16-segment hierdec "
+                  "conductor (hierdec-mel_16bar family). "
                   "multi: 1-bar multi-instrument performance-event chunks "
                   "(hier-multiperf family, 8-segment conductor).")
 flags.DEFINE_string("output", "./checkpoints/musicvae.pkl",
@@ -76,6 +78,26 @@ def _parse_one(path):
     return out
 
 
+def _parse_one_16(path):
+    """Worker: MIDI file -> list of (256,) uint8 16-bar melody token rows.
+
+    ids rather than one-hot (90-deep rows stay tiny in RAM; one-hot happens
+    on device per batch like multi mode).
+    """
+    from smd_tpu.codec import midi_io
+    from smd_tpu.codec.melody import extract_melodies
+    from smd_tpu.config import melody_16bar_converter
+    try:
+        ns = midi_io.read_midi_file(path)
+    except Exception:
+        return []
+    out = []
+    for melody in extract_melodies(ns):
+        out.extend(t.argmax(-1).astype(np.uint8) for t in
+                   melody_16bar_converter.to_tensors(melody).inputs[::16])
+    return out
+
+
 def _parse_one_multi(path):
     """Worker: MIDI file -> list of (512,) uint16 performance-event id rows.
 
@@ -93,7 +115,8 @@ def _parse_one_multi(path):
 
 
 def load_tensors(files, workers=8, mode="melody"):
-    parse = _parse_one if mode == "melody" else _parse_one_multi
+    parse = {"melody": _parse_one, "melody16": _parse_one_16,
+             "multi": _parse_one_multi}[mode]
     tensors = []
     if workers <= 1 or len(files) < 16:
         for path in files:
@@ -144,6 +167,15 @@ def main(argv):
             hier_segments=multiperf_default_1bar_converter
             .max_num_instruments,
             conductor_units=FLAGS.conductor_units,
+            conductor_layers=FLAGS.conductor_layers)
+    elif FLAGS.mode == "melody16":
+        from smd_tpu.codec.melody import VOCAB_SIZE
+        cfg = MusicVAEConfig(
+            latent_dims=FLAGS.latent_dims, enc_units=FLAGS.enc_units,
+            dec_units=(FLAGS.dec_units,) * FLAGS.dec_layers,
+            depth=VOCAB_SIZE, max_seq_len=data.shape[1],
+            free_bits=FLAGS.free_bits, beta=FLAGS.beta,
+            hier_segments=16, conductor_units=FLAGS.conductor_units,
             conductor_layers=FLAGS.conductor_layers)
     else:
         cfg = MusicVAEConfig(latent_dims=FLAGS.latent_dims,

@@ -100,7 +100,9 @@ def test_multiperf_time_shift_precision():
     ns.add_note(36, 80, 0.0, 2.0, instrument=1)
     conv = multiperf_default_1bar_converter
     rec = conv.from_tensors(conv.to_tensors(ns).inputs)[0]
-    mel = sorted([n for n in rec.notes if n.instrument == 0],
+    # Canonical segment ordering may reassign instrument slots; pick the
+    # melody stream by content.
+    mel = sorted([n for n in rec.notes if n.pitch >= 60],
                  key=lambda n: n.start_time)
     np.testing.assert_allclose([n.start_time for n in mel],
                                [0.0, 1.0 / 6, 2.0 / 6], atol=1e-6)
@@ -159,3 +161,58 @@ def test_multiperf_registry_wiring():
     std = MUSIC_VAE_CONFIG["melody-2-big"]
     assert nopoly.data_converter is not std.data_converter
     assert nopoly.data_converter.skip_polyphony
+
+
+def test_multiperf_canonical_order_note_order_invariant():
+    """Chunks must not depend on the input's note/instrument ordering:
+    in-memory (instrument-major) and MIDI-read (time-interleaved) listings
+    of the same music must produce IDENTICAL tensors (the round-2 shipped
+    multi codec's 0.16-vs-0.84 F1 cliff was exactly this ordering skew)."""
+    conv = multiperf_default_1bar_converter
+
+    def build(order):
+        ns = _ns()
+        notes = [
+            (72, 90, 0.0, 0.4, 2, 73),    # lead (program 73)
+            (74, 90, 0.5, 0.9, 2, 73),
+            (36, 80, 0.0, 1.9, 0, 33),    # bass (program 33)
+            (60, 70, 0.0, 1.0, 1, 0),     # chords (program 0)
+            (64, 70, 1.0, 2.0, 1, 0),
+        ]
+        for i in order:
+            p, v, s, e, inst, prog = notes[i]
+            ns.add_note(p, v, s, e, instrument=inst, program=prog)
+        return conv.to_tensors(ns).inputs
+
+    a = build([0, 1, 2, 3, 4])            # lead first (in-memory style)
+    b = build([2, 3, 0, 4, 1])            # bass first (file-read style)
+    assert len(a) == len(b) == 1
+    np.testing.assert_array_equal(a[0], b[0])
+    # Canonical order is program-major: bass(33) < chords(0)? No — sorted
+    # by the leading PROGRAM token id, so program 0 < 33 < 73.
+    first_tokens = a[0].argmax(-1).reshape(8, 64)[:, 0]
+    progs = [t - conv._vocab.program0 for t in first_tokens[:3]]
+    assert progs == sorted(progs)
+
+
+def test_multiperf_memory_vs_midi_file_chunks_match():
+    """End to end: a synthetic multitrack song converted in memory and via a
+    MIDI write/read must yield (near-)identical chunk tensors."""
+    import tempfile
+
+    from scripts.make_multitrack_corpus import make_song
+    from smd_tpu.codec import midi_io
+
+    rng = np.random.default_rng(77)
+    ns = make_song(rng)
+    tmp = tempfile.mkdtemp()
+    midi_io.write_midi_file(ns, tmp + "/s.mid")
+    ns2 = midi_io.read_midi_file(tmp + "/s.mid")
+    conv = multiperf_default_1bar_converter
+    a = conv.to_tensors(ns).inputs
+    b = conv.to_tensors(ns2).inputs
+    assert len(a) == len(b) and len(a) > 0
+    match = np.mean([(x.argmax(-1) == y.argmax(-1)).mean()
+                     for x, y in zip(a, b)])
+    # Tiny residue allowed: MIDI tick rounding can nudge one event.
+    assert match > 0.97, f"memory-vs-file chunk token match {match:.3f}"
