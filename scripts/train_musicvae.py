@@ -50,6 +50,10 @@ flags.DEFINE_integer("conductor_units", 512,
 flags.DEFINE_integer("conductor_layers", 2,
                      "Conductor LSTM layers (multi mode).")
 flags.DEFINE_integer("log_every", 100, "Logging frequency.")
+flags.DEFINE_integer("scan_chunk", 25,
+                     "Optimizer steps fused into one dispatch via lax.scan "
+                     "(amortizes remote-accelerator round-trips; 1 = one "
+                     "dispatch per step).")
 flags.DEFINE_integer("seed", 0, "PRNG seed.")
 flags.DEFINE_float("eval_frac", 0.05, "Held-out fraction for evaluation.")
 flags.DEFINE_integer("eval_batches", 8, "Eval batches per evaluation.")
@@ -202,8 +206,7 @@ def main(argv):
         return jax.nn.one_hot(batch, cfg.depth) if ids_input \
             else batch
 
-    @jax.jit
-    def train_step(params, opt_state, batch, rng, ss_prob):
+    def _update(params, opt_state, batch, rng, ss_prob):
         x = prep(batch)
 
         def loss_fn(p):
@@ -216,6 +219,30 @@ def main(argv):
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, aux
+
+    @jax.jit
+    def train_step(params, opt_state, batch, rng, ss_prob):
+        return _update(params, opt_state, batch, rng, ss_prob)
+
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_chunk(params, opt_state, batches, rng, ss_probs):
+        """K optimizer steps per dispatch (lax.scan): on a tunneled
+        accelerator the per-call host round-trip dwarfs the step compute,
+        so scanning K steps per call amortizes it K-fold."""
+        keys = jax.random.split(rng, batches.shape[0])
+
+        def body(carry, xs):
+            params, opt_state = carry
+            batch, key, ss = xs
+            params, opt_state, loss, aux = _update(params, opt_state, batch,
+                                                   key, ss)
+            return (params, opt_state), (loss, aux)
+
+        (params, opt_state), (losses, auxes) = jax.lax.scan(
+            body, (params, opt_state), (batches, keys, ss_probs))
+        return params, opt_state, losses, auxes
 
     @jax.jit
     def eval_step(params, batch, rng):
@@ -252,15 +279,23 @@ def main(argv):
 
     n = len(train_data)
     t0 = time.time()
-    for step in range(FLAGS.steps):
-        idx = rng_np.integers(0, n, FLAGS.batch_size)
-        batch = jnp.asarray(train_data[idx])
+    chunk = max(1, min(FLAGS.scan_chunk, FLAGS.log_every))
+    step = 0
+    while step < FLAGS.steps:
+        k_steps = min(chunk, FLAGS.steps - step)
+        idx = rng_np.integers(0, n, (k_steps, FLAGS.batch_size))
+        batches = jnp.asarray(train_data[idx.reshape(-1)].reshape(
+            k_steps, FLAGS.batch_size, *train_data.shape[1:]))
         rng, step_rng = jax.random.split(rng)
-        ss = FLAGS.scheduled_sampling * min(
-            1.0, step / max(FLAGS.steps // 2, 1))
-        params, opt_state, loss, aux = train_step(params, opt_state, batch,
-                                                  step_rng, ss)
-        if step % FLAGS.log_every == 0:
+        ss = jnp.asarray([
+            FLAGS.scheduled_sampling * min(
+                1.0, (step + j) / max(FLAGS.steps // 2, 1))
+            for j in range(k_steps)], jnp.float32)
+        params, opt_state, losses, auxes = train_chunk(
+            params, opt_state, batches, step_rng, ss)
+        step += k_steps
+        if (step - k_steps) % FLAGS.log_every < k_steps:
+            loss, aux = losses[-1], {k: v[-1] for k, v in auxes.items()}
             msg = (f"step {step} | elbo {float(loss):.3f} | "
                    f"rec {float(aux['rec']):.3f} | kl {float(aux['kl']):.3f}"
                    f" | {step / max(time.time() - t0, 1e-9):.1f} steps/s")

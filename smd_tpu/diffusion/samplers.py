@@ -530,16 +530,17 @@ def distilled_ddim_dynamics(rng,
                             init,
                             infill_samples=None,
                             infill_masks=None,
-                            clip_x0: bool = False) -> SamplerOutput:
+                            clip_x0: bool = True) -> SamplerOutput:
     """Few-step sampler for a progressively distilled model.
 
     ``grid`` is the ``(N+1,)`` alpha-bar boundary array the student was
     distilled on (``training.distill.distill_grid`` / the ``grid`` entry of
     ``progressive_distill``'s results): one DDIM jump per boundary pair,
-    noisiest to clean, exactly the step the student was trained to take.
-    One ``lax.scan``, one model call per step. ``clip_x0`` defaults off —
-    distillation targets are not confined to [-1, 1], so clipping at
-    sampling time would deviate from the trained mapping.
+    noisiest to clean, exactly the step the student was trained to take —
+    including the x0 clip (``clip_x0`` must match the distillation's
+    ``clip_x0``; both default True, the repo-wide sampler convention, and
+    the measured-necessary one: the unclipped flagship sampler is FD ~4300
+    vs 242-268 clipped).
 
     A capability the reference lacks (its fastest path is the 1000-step
     ancestral chain, ``ebm_utils.py:274-405``).

@@ -37,7 +37,6 @@ import jax
 import jax.numpy as jnp
 
 from smd_tpu.diffusion import schedules
-from smd_tpu.training.optimizer import make_optimizer
 from smd_tpu.training.state import TrainState
 
 __all__ = [
@@ -109,14 +108,25 @@ def ddim_jump(model_fn, z, abar_from, abar_to, clip_x0: bool = True):
 
 def progressive_distillation_loss(batch, student_fn, teacher_fn, grid, mids,
                                   rng, reduction: str = "mean",
-                                  clip_teacher: bool = True):
-    """One-student-step == two-teacher-steps matching loss.
+                                  clip_x0: bool = True):
+    """One-student-step == two-teacher-steps landing-point matching loss.
 
     Per example: draw a random student step i, forward-diffuse the clean
-    ``batch`` to level grid[i], run the (stop-gradient) teacher two DDIM
-    jumps grid[i] -> mids[i] -> grid[i+1], solve for the x0 the student
-    must predict so its ONE jump lands on the same point, and penalize the
-    x-space error with the paper's truncated-SNR weight max(1, SNR).
+    ``batch`` to level grid[i], run the (stop-gradient) teacher two sampler
+    jumps grid[i] -> mids[i] -> grid[i+1], run the student's OWN sampler
+    step (the exact ``distilled_ddim_dynamics`` update, clipping included)
+    once, and penalize the z-space landing gap.
+
+    The loss is weighted max(1, SNR_t) / denom_t^2 with
+    denom = alpha_s - (sigma_s/sigma_t) * alpha_t: since a single jump maps
+    an implied x-prediction to z_next = denom * x + (sigma_s/sigma_t) * z_t,
+    this is ALGEBRAICALLY IDENTICAL to Salimans & Ho's truncated-SNR
+    x-space loss wherever clipping is inactive — but stays well-conditioned
+    where it binds. (Measured on the trained flagship: a raw x-space target
+    with a clipped teacher produced O(1/denom)-amplified targets at the
+    noisy levels where ~86% of x0 predictions clip — initial stage loss 271
+    and diverged students; and clipping cannot simply be dropped, because
+    the unclipped sampler itself measures FD ~4300 vs 242-268 clipped.)
     """
     from smd_tpu.diffusion.losses import reduce_fn
 
@@ -132,46 +142,74 @@ def progressive_distillation_loss(batch, student_fn, teacher_fn, grid, mids,
     eps = jax.random.normal(eps_rng, batch.shape)
     z_t = a_t * batch + s_t * eps
 
-    z_m = ddim_jump(teacher_fn, z_t, abar_t, abar_m, clip_x0=clip_teacher)
-    z_s = ddim_jump(teacher_fn, z_m, abar_m, abar_s, clip_x0=clip_teacher)
-    z_s = jax.lax.stop_gradient(z_s)
+    z_m = ddim_jump(teacher_fn, z_t, abar_t, abar_m, clip_x0=clip_x0)
+    z_tgt = ddim_jump(teacher_fn, z_m, abar_m, abar_s, clip_x0=clip_x0)
+    z_tgt = jax.lax.stop_gradient(z_tgt)
 
-    # The x-target whose single DDIM jump from z_t reproduces z_s
-    # (Salimans & Ho eq. 9; denominator > 0 whenever lambda increases).
-    ratio = s_s / s_t
-    x_target = (z_s - ratio * z_t) / (a_s - ratio * a_t)
+    # Student's actual sampler step (gradient flows through the raw-eps
+    # term even where the x0 clip saturates).
+    z_pred = ddim_jump(student_fn, z_t, abar_t, abar_s, clip_x0=clip_x0)
 
-    eps_pred = student_fn(z_t, a_t)
-    x_pred = (z_t - s_t * eps_pred) / a_t
-
-    # Truncated-SNR weighting: epsilon-space MSE vanishes at high SNR where
-    # few-step sampling needs the x-prediction to be exact.
-    w = jnp.maximum(1.0, abar_t / (1.0 - abar_t)).reshape(batch.shape[0], -1)
-    err = jnp.square(x_target - x_pred).reshape(batch.shape[0], -1)
-    loss = (w[:, :1] * err).mean(axis=-1)
+    denom = a_s - (s_s / s_t) * a_t
+    w = jnp.maximum(1.0, abar_t / (1.0 - abar_t)) / jnp.square(denom)
+    err = jnp.square(z_tgt - z_pred).reshape(batch.shape[0], -1)
+    loss = (w.reshape(batch.shape[0], -1)[:, :1] * err).mean(axis=-1)
     return reduce_fn(loss, reduction)
 
 
+def _distill_update(model, teacher_params, grid, mids, clip_x0,
+                    state, batch, rng):
+    teacher_fn = lambda x, cond: model.apply(teacher_params, x, cond)
+
+    def loss_fn(params):
+        student_fn = lambda x, cond: model.apply(params, x, cond)
+        return progressive_distillation_loss(
+            batch, student_fn, teacher_fn, grid, mids, rng,
+            clip_x0=clip_x0)
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    return state.apply_gradients(grads), loss
+
+
 def make_distill_step(model, teacher_params, grid, mids,
-                      clip_teacher: bool = True):
+                      clip_x0: bool = True):
     """Fused distillation step: teacher fwd x2 + student loss/grad/Adam/EMA
     in ONE donated jit program (same shape as ``make_train_step``)."""
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def distill_step(state: TrainState, batch, rng):
-        teacher_fn = lambda x, cond: model.apply(teacher_params, x, cond)
-
-        def loss_fn(params):
-            student_fn = lambda x, cond: model.apply(params, x, cond)
-            return progressive_distillation_loss(
-                batch, student_fn, teacher_fn, grid, mids, rng,
-                clip_teacher=clip_teacher)
-
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        new_state = state.apply_gradients(grads)
+        new_state, loss = _distill_update(model, teacher_params, grid, mids,
+                                          clip_x0, state, batch, rng)
         return new_state, {"loss": loss}
 
     return distill_step
+
+
+def make_distill_scan(model, teacher_params, grid, mids,
+                      clip_x0: bool = True):
+    """K distillation steps per dispatch: ``lax.scan`` over a stacked batch
+    chunk inside ONE donated jit program.
+
+    On a tunneled/remote accelerator each dispatch pays a host round-trip
+    that can dwarf the ~tens-of-ms step compute; scanning K steps per call
+    amortizes it K-fold (the same reason the samplers are single scan
+    programs). ``batches`` is (K, B, ...); returns (state, (K,) losses).
+    """
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def distill_chunk(state: TrainState, batches, rng):
+        keys = jax.random.split(rng, batches.shape[0])
+
+        def body(state, xs):
+            batch, key = xs
+            new_state, loss = _distill_update(
+                model, teacher_params, grid, mids, clip_x0, state,
+                batch, key)
+            return new_state, loss
+
+        return jax.lax.scan(body, state, (batches, keys))
+
+    return distill_chunk
 
 
 def progressive_distill(model,
@@ -188,7 +226,8 @@ def progressive_distill(model,
                         ema: bool = False,
                         ema_mu: float = 0.999,
                         seed: int = 0,
-                        clip_teacher: bool = True,
+                        clip_x0: bool = True,
+                        scan_chunk: int = 50,
                         log_fn: Optional[Callable] = None
                         ) -> Dict[int, dict]:
     """Distill a trained model down to ``end_steps`` sampler steps.
@@ -216,6 +255,8 @@ def progressive_distill(model,
     if start_steps < end_steps or start_steps % end_steps:
         raise ValueError(f"start_steps={start_steps} must be a power-of-2 "
                          f"multiple of end_steps={end_steps}")
+    import optax
+
     rng = jax.random.PRNGKey(seed)
     grid = distill_grid(betas, 2 * start_steps, lam_max)
     teacher = params
@@ -223,21 +264,42 @@ def progressive_distill(model,
     num_steps = start_steps
     while num_steps >= end_steps:
         student_grid, mids = halve_grid(grid)
-        tx = make_optimizer(learning_rate, grad_clip=1.0, lr_gamma=1.0,
-                            lr_schedule_interval=10**9,
-                            warmup_steps=warmup_steps)
+        # Per-stage warmup-cosine to ~0: each stage is a fine-tune that
+        # must land, not a plateau (annealing measurably tightens the final
+        # stage loss vs a constant rate).
+        schedule = optax.warmup_cosine_decay_schedule(
+            0.0, learning_rate, min(warmup_steps, steps_per_stage // 10),
+            steps_per_stage, end_value=learning_rate * 0.01)
+        tx = optax.chain(optax.clip_by_global_norm(1.0),
+                         optax.adam(schedule))
         state = TrainState.create(
             jax.tree_util.tree_map(jnp.copy, teacher), tx, ema=ema,
             ema_mu=ema_mu)
-        step_fn = make_distill_step(model, teacher, student_grid, mids,
-                                    clip_teacher=clip_teacher)
-        for step in range(steps_per_stage):
-            batch = next(batches)
-            rng, k = jax.random.split(rng)
-            state, metrics = step_fn(state, jnp.asarray(batch), k)
-            if log_fn is not None and (step % 500 == 0 or
-                                       step == steps_per_stage - 1):
-                log_fn(num_steps, step, float(metrics["loss"]))
+        if scan_chunk > 1:
+            chunk_fn = make_distill_scan(model, teacher, student_grid, mids,
+                                         clip_x0=clip_x0)
+            done = 0
+            while done < steps_per_stage:
+                k_steps = min(scan_chunk, steps_per_stage - done)
+                # jnp.stack keeps device-resident batches on device (a
+                # device-cached pool avoids re-shipping data through a
+                # remote-accelerator tunnel every chunk).
+                stack = jnp.stack([next(batches) for _ in range(k_steps)])
+                rng, k = jax.random.split(rng)
+                state, losses = chunk_fn(state, stack, k)
+                done += k_steps
+                if log_fn is not None:
+                    log_fn(num_steps, done - 1, float(losses[-1]))
+        else:
+            step_fn = make_distill_step(model, teacher, student_grid, mids,
+                                        clip_x0=clip_x0)
+            for step in range(steps_per_stage):
+                batch = next(batches)
+                rng, k = jax.random.split(rng)
+                state, metrics = step_fn(state, jnp.asarray(batch), k)
+                if log_fn is not None and (step % 500 == 0 or
+                                           step == steps_per_stage - 1):
+                    log_fn(num_steps, step, float(metrics["loss"]))
         teacher = state.sampling_params
         results[num_steps] = {"params": teacher, "grid": student_grid}
         grid = student_grid
