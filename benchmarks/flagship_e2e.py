@@ -38,13 +38,14 @@ def main():
     parser.add_argument("--steps", type=int, default=2000)
     parser.add_argument("--batch", type=int, default=64)
     parser.add_argument("--eval_n", type=int, default=1000)
-    parser.add_argument("--distill_stage_steps", type=int, default=1500,
+    parser.add_argument("--distill_stage_steps", type=int, default=3000,
                         help="Optimizer steps per progressive-distillation "
                         "stage (0 disables the distilled rows).")
-    parser.add_argument("--distill_start", type=int, default=16,
-                        help="First distilled step count. Measured: 16 "
-                        "(teacher = 32-step lambda-grid DDIM, FD 249) beats "
-                        "64 — finer-h stages are harder to fit and errors "
+    parser.add_argument("--distill_start", type=int, default=8,
+                        help="First distilled step count. Measured: 8 "
+                        "(teacher = the 16-level lambda grid, the best "
+                        "base-model grid at FD 242) beats 16 or 64 — "
+                        "finer-h stages are harder to fit and errors "
                         "compound over more halvings.")
     parser.add_argument("--mdn_steps", type=int, default=3000,
                         help="TransformerMDN training steps for the MDN "

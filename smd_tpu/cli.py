@@ -108,11 +108,15 @@ def define_diffusion_flags():
         "instead of training: stages halve from --distill_start_steps down "
         "to --distill_end_steps, each saved to "
         "<model_dir>/distilled/<steps>.pkl.")
-    flags.DEFINE_integer("distill_start_steps", 64,
-                         "First (largest) distilled sampler step count.")
+    flags.DEFINE_integer("distill_start_steps", 8,
+                         "First (largest) distilled sampler step count. "
+                         "Measured on the flagship: 8 (whose teacher is the "
+                         "32-level dense grid) beats 16 or 64 — finer-h "
+                         "stages are harder to fit and their errors "
+                         "compound over more halvings (docs/DESIGN.md).")
     flags.DEFINE_integer("distill_end_steps", 2,
                          "Final (smallest) distilled sampler step count.")
-    flags.DEFINE_integer("distill_stage_steps", 2000,
+    flags.DEFINE_integer("distill_stage_steps", 3000,
                          "Optimizer steps per distillation stage.")
     flags.DEFINE_float("distill_lr", 1e-4,
                        "Learning rate for distillation stages.")

@@ -217,9 +217,9 @@ def progressive_distill(model,
                         betas,
                         batches: Iterator,
                         *,
-                        start_steps: int = 64,
+                        start_steps: int = 8,
                         end_steps: int = 2,
-                        steps_per_stage: int = 2000,
+                        steps_per_stage: int = 3000,
                         learning_rate: float = 1e-4,
                         warmup_steps: int = 100,
                         lam_max: Optional[float] = 2.5,
