@@ -69,7 +69,12 @@ flags.DEFINE_float("scheduled_sampling", 0.0,
 
 
 def _parse_one(path):
-    """Worker: MIDI file -> list of 2-bar one-hot chunk tensors."""
+    """Worker: MIDI file -> list of (32,) uint8 2-bar melody token rows.
+
+    ids rather than one-hot (like the other modes): the corpus stays ~360x
+    smaller in RAM and per-chunk transfers to a tunneled accelerator ship
+    kilobytes instead of megabytes; one-hot happens on device per batch.
+    """
     from smd_tpu.codec import midi_io
     from smd_tpu.codec.melody import extract_melodies, melody_2bar_converter
     try:
@@ -78,7 +83,8 @@ def _parse_one(path):
         return []
     out = []
     for melody in extract_melodies(ns):
-        out.extend(melody_2bar_converter.to_tensors(melody).inputs[::2])
+        out.extend(t.argmax(-1).astype(np.uint8) for t in
+                   melody_2bar_converter.to_tensors(melody).inputs[::2])
     return out
 
 
@@ -182,10 +188,12 @@ def main(argv):
             hier_segments=16, conductor_units=FLAGS.conductor_units,
             conductor_layers=FLAGS.conductor_layers)
     else:
+        from smd_tpu.codec.melody import VOCAB_SIZE
+        depth = VOCAB_SIZE if ids_input else data.shape[-1]
         cfg = MusicVAEConfig(latent_dims=FLAGS.latent_dims,
                              enc_units=FLAGS.enc_units,
                              dec_units=(FLAGS.dec_units,) * FLAGS.dec_layers,
-                             depth=data.shape[-1], max_seq_len=data.shape[1],
+                             depth=depth, max_seq_len=data.shape[1],
                              free_bits=FLAGS.free_bits, beta=FLAGS.beta)
     model = MusicVAE(cfg)
     rng = jax.random.PRNGKey(FLAGS.seed)
