@@ -97,6 +97,9 @@ DEFAULT_MELODY_ARTIFACT = os.path.join(_CKPT_DIR, "musicvae-melody.pkl")
 # hier-multiperf codec trained on the synthetic multitrack corpus
 # (scripts/make_multitrack_corpus.py + train_musicvae.py --mode=multi).
 DEFAULT_MULTI_ARTIFACT = os.path.join(_CKPT_DIR, "musicvae-multi.pkl")
+# 16-bar hierdec melody codec (train_musicvae.py --mode=melody16), the
+# hierdec-mel_16bar analogue (reference config.py:41-48).
+DEFAULT_MELODY16_ARTIFACT = os.path.join(_CKPT_DIR, "musicvae-melody16.pkl")
 
 
 def _load_artifact(path):
@@ -114,6 +117,11 @@ def load_default_melody_params():
 def load_default_multi_params():
     """The shipped multitrack (hier-multiperf) codec bundle, or None."""
     return _load_artifact(DEFAULT_MULTI_ARTIFACT)
+
+
+def load_default_melody16_params():
+    """The shipped 16-bar hierdec melody codec bundle, or None."""
+    return _load_artifact(DEFAULT_MELODY16_ARTIFACT)
 
 
 class Encoder(nn.Module):
@@ -413,6 +421,16 @@ class TrainedMusicVAE:
                 logging.getLogger(__name__).info(
                     "Loaded shipped melody codec from %s",
                     DEFAULT_MELODY_ARTIFACT)
+        elif params is None and config.hier_segments > 0 and \
+                config.latent_dims == 512 and config.enc_units >= 1024 and \
+                config.depth == 90:
+            # 16-bar hierdec melody shapes (melody-16-big registry entry).
+            params = load_default_melody16_params()
+            if params is not None:
+                import logging
+                logging.getLogger(__name__).info(
+                    "Loaded shipped 16-bar hierdec melody codec from %s",
+                    DEFAULT_MELODY16_ARTIFACT)
         elif params is None and config.hier_segments > 0 and \
                 config.latent_dims == 512 and config.enc_units >= 1024:
             params = load_default_multi_params()
