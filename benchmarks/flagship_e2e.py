@@ -233,9 +233,12 @@ def main():
             "steps": args.mdn_steps,
             "nll_end": round(float(m["loss"]), 4),
             "seconds": round(time.time() - t0, 1)}
+        # log_sigma_cap=0.0: serving-side guard against the NLL's unbounded
+        # variance components (sigma up to ~e^6 on this flagship) that
+        # detonate free-running decode — see mdn_decode.sample_mixture.
         decode = jax.jit(lambda k: ar_decode_cached(
             k, mdn_model, mdn_state.params, args.eval_n, steps=32,
-            channels=42))
+            channels=42, log_sigma_cap=0.0))
         decode(jax.random.PRNGKey(30)).block_until_ready()
         t0 = time.time()
         mdn_gen = decode(jax.random.PRNGKey(31))

@@ -23,6 +23,14 @@ flags.DEFINE_boolean(
     "KV-cached incremental decoding (11x faster, clean ancestral sampling)."
     " Disable for the reference's exact decode semantics incl. its"
     " final-step full resample.")
+flags.DEFINE_float(
+    "mdn_sigma_cap", 0.0,
+    "Serving-side upper bound on per-component log stddev during mixture "
+    "sampling. The MDN NLL never bounds sigma, so trained mixtures carry "
+    "near-unused huge-variance components that destabilize free-running "
+    "decode (measured: FD 3e9 -> 309 on the flagship with cap 0.0, i.e. "
+    "sigma <= 1 on unit-scale standardized latents). Set to inf for the "
+    "reference's exact unguarded sampling.")
 
 
 def main(argv):
@@ -47,17 +55,18 @@ def main(argv):
 
     model, state = cli.restore_state_for_sampling((steps, channels), mdn=True)
 
+    cap = None if np.isinf(FLAGS.mdn_sigma_cap) else FLAGS.mdn_sigma_cap
     t0 = time.time()
     if FLAGS.cached_decode:
         generated = mdn_decode.ar_decode_cached(
             jax.random.PRNGKey(FLAGS.sample_seed), model, state.params,
-            len(real), steps=steps, channels=channels)
+            len(real), steps=steps, channels=channels, log_sigma_cap=cap)
     else:
         model_fn = lambda tokens: model.apply(state.params, tokens,
                                               shift=False)
         generated = mdn_decode.ar_decode(
             jax.random.PRNGKey(FLAGS.sample_seed), model_fn, len(real),
-            steps=steps, channels=channels)
+            steps=steps, channels=channels, log_sigma_cap=cap)
     generated = np.asarray(generated)
     logging.info("Generated samples in %f seconds", time.time() - t0)
 

@@ -94,6 +94,12 @@ _CKPT_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))), "checkpoints")
 DEFAULT_MELODY_ARTIFACT = os.path.join(_CKPT_DIR, "musicvae-melody.pkl")
+# Full-size cat-mel_2bar_big artifact (2048-unit BiLSTM encoder, 3x2048
+# decoder — the architecture the reference's pretrained checkpoint uses,
+# reference config.py:23-30). Preferred over the reduced artifact when
+# present.
+DEFAULT_MELODY_BIG_ARTIFACT = os.path.join(
+    _CKPT_DIR, "musicvae-melody-big.pkl")
 # hier-multiperf codec trained on the synthetic multitrack corpus
 # (scripts/make_multitrack_corpus.py + train_musicvae.py --mode=multi).
 DEFAULT_MULTI_ARTIFACT = os.path.join(_CKPT_DIR, "musicvae-multi.pkl")
@@ -110,8 +116,10 @@ def _load_artifact(path):
 
 
 def load_default_melody_params():
-    """The shipped melody codec bundle, or None when absent."""
-    return _load_artifact(DEFAULT_MELODY_ARTIFACT)
+    """The shipped melody codec bundle, preferring the full-size
+    cat-mel_2bar_big artifact over the reduced one; None when absent."""
+    return (_load_artifact(DEFAULT_MELODY_BIG_ARTIFACT) or
+            _load_artifact(DEFAULT_MELODY_ARTIFACT))
 
 
 def load_default_multi_params():
@@ -419,8 +427,10 @@ class TrainedMusicVAE:
             if params is not None:
                 import logging
                 logging.getLogger(__name__).info(
-                    "Loaded shipped melody codec from %s",
-                    DEFAULT_MELODY_ARTIFACT)
+                    "Loaded shipped melody codec (%s)",
+                    "cat-mel_2bar_big" if
+                    os.path.exists(DEFAULT_MELODY_BIG_ARTIFACT)
+                    else DEFAULT_MELODY_ARTIFACT)
         elif params is None and config.hier_segments > 0 and \
                 config.latent_dims == 512 and config.enc_units >= 1024 and \
                 config.depth == 90:

@@ -23,16 +23,29 @@ import jax.numpy as jnp
 __all__ = ["sample_mixture", "ar_decode"]
 
 
-def sample_mixture(rng, pi, mu, log_sigma, channels: int):
+def sample_mixture(rng, pi, mu, log_sigma, channels: int,
+                   log_sigma_cap=None):
     """Sample from an MDN head output.
 
     Shapes: pi (..., K); mu, log_sigma (..., K*channels). Returns
     (..., channels).
+
+    ``log_sigma_cap`` clamps per-component log stddev from above before
+    sampling. The NLL never bounds sigma, so trained mixtures carry junk
+    components with huge variance (measured on the flagship MDN: log_sigma
+    up to +6, sigma ~500x the data scale) that are near-ignored by
+    teacher-forced likelihood but detonate free-running decode — one
+    oversized draw knocks the input off-manifold and errors compound
+    autoregressively. Capping at the data scale (0.0 for unit-scale
+    latents) is a pure serving-side guard: in-distribution components sit
+    far below the cap and are unaffected.
     """
     k = pi.shape[-1]
     lead = pi.shape[:-1]
     comp_rng, norm_rng = jax.random.split(rng)
     comp = jax.random.categorical(comp_rng, pi, axis=-1)   # (...,)
+    if log_sigma_cap is not None:
+        log_sigma = jnp.minimum(log_sigma, log_sigma_cap)
     mus = mu.reshape(*lead, k, channels)
     sigmas = jnp.exp(log_sigma).reshape(*lead, k, channels)
     mu_sel = jnp.take_along_axis(mus, comp[..., None, None], axis=-2)
@@ -47,7 +60,8 @@ def ar_decode(rng,
               model_fn: Callable,
               num_samples: int,
               steps: int = 32,
-              channels: int = 42) -> jnp.ndarray:
+              channels: int = 42,
+              log_sigma_cap=None) -> jnp.ndarray:
     """Generate sequences by ancestral MDN decoding.
 
     Args:
@@ -66,7 +80,8 @@ def ar_decode(rng,
     def step(tokens, inputs):
         i, step_rng = inputs
         pi, mu, log_sigma = model_fn(tokens)
-        sampled = sample_mixture(step_rng, pi, mu, log_sigma, channels)
+        sampled = sample_mixture(step_rng, pi, mu, log_sigma, channels,
+                                 log_sigma_cap=log_sigma_cap)
         next_tokens = jax.lax.cond(
             i < steps - 1,
             lambda: jax.lax.dynamic_update_index_in_dim(
@@ -87,7 +102,8 @@ def ar_decode_cached(rng,
                      params,
                      num_samples: int,
                      steps: int = 32,
-                     channels: int = 42) -> jnp.ndarray:
+                     channels: int = 42,
+                     log_sigma_cap=None) -> jnp.ndarray:
     """Ancestral MDN decoding with a KV cache — O(S) attention per step.
 
     Incremental decoding (SURVEY.md §7.5 "causal cache"): each step feeds one
@@ -122,7 +138,7 @@ def ar_decode_cached(rng,
             {**params, "cache": cache}, token, decode=True,
             decode_position=i, mutable=["cache"])
         z = sample_mixture(step_rng, pi[:, 0], mu[:, 0], log_sigma[:, 0],
-                           channels)
+                           channels, log_sigma_cap=log_sigma_cap)
         out = jax.lax.dynamic_update_index_in_dim(out, z, i, axis=1)
         return (z[:, None, :], vars_out["cache"], out), ()
 

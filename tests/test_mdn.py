@@ -23,6 +23,30 @@ def test_sample_mixture_statistics(rng):
     assert abs(frac1 - 0.2) < 0.05
 
 
+def test_sample_mixture_log_sigma_cap(rng):
+    """The serving-side cap defuses junk huge-variance components.
+
+    Trained MDN mixtures carry components the NLL never bounds (measured
+    log_sigma up to +6 on the flagship); capped sampling must stay at the
+    data scale while uncapped sampling detonates.
+    """
+    N, K, D = 4096, 2, 2
+    pi = jnp.zeros((N, K))                      # uniform over components
+    mus = jnp.zeros((N, K * D))
+    # component 0: sigma=e^-1 (real); component 1: sigma=e^6 (junk)
+    log_sigma = jnp.tile(jnp.array([-1.0, -1.0, 6.0, 6.0]), (N, 1))
+    wild = mdn_decode.sample_mixture(rng, pi, mus, log_sigma, D)
+    capped = mdn_decode.sample_mixture(rng, pi, mus, log_sigma, D,
+                                       log_sigma_cap=0.0)
+    assert float(jnp.abs(wild).max()) > 50.0
+    assert float(jnp.abs(capped).max()) < 10.0
+    # components below the cap are untouched: identical rng, tight sigma
+    tight = jnp.tile(jnp.array([-1.0, -1.0, -2.0, -2.0]), (N, 1))
+    a = mdn_decode.sample_mixture(rng, pi, mus, tight, D)
+    b = mdn_decode.sample_mixture(rng, pi, mus, tight, D, log_sigma_cap=0.0)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_ar_decode_shapes_and_determinism(rng):
     model = get_model("TransformerMDN", num_layers=1, num_heads=2,
                       num_mlp_layers=1, mlp_dims=32, mdn_mixtures=4)
