@@ -68,6 +68,14 @@ def define_common_flags():
     # Parallelism / scale (new: the reference was single-device)
     flags.DEFINE_integer("model_parallelism", 1,
                          "Size of the tensor-parallel mesh axis.")
+    flags.DEFINE_integer("scan_chunk", 1,
+                         "Optimizer steps fused into one dispatch via "
+                         "lax.scan (1 = one dispatch per step). On a "
+                         "remote/tunneled accelerator the per-call host "
+                         "round-trip dwarfs the step compute; fusing K "
+                         "steps amortizes it K-fold. Snapshot/checkpoint "
+                         "boundaries are preserved; logging coarsens to "
+                         "chunk granularity.")
     flags.DEFINE_boolean("mixed_precision", False,
                          "bfloat16 compute with fp32 params.")
     flags.DEFINE_boolean("remat", False,
@@ -170,6 +178,7 @@ def train_config_from_flags(mdn: bool = False) -> TrainConfig:
         checkpoints_to_keep=FLAGS.checkpoints_to_keep,
         save_ckpt=FLAGS.save_ckpt,
         verbose=FLAGS.verbose,
+        scan_chunk=FLAGS.scan_chunk,
     )
     if not mdn:
         cfg.loss = FLAGS.loss

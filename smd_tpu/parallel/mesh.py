@@ -26,7 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
     "MeshConfig", "make_mesh", "batch_sharding", "replicated",
-    "shard_params", "shard_batch", "initialize_distributed",
+    "shard_params", "shard_batch", "shard_chunk", "initialize_distributed",
 ]
 
 
@@ -82,6 +82,27 @@ def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def shard_chunk(batches, mesh: Mesh):
+    """Device-put a (K, batch, ...) stack of K step-batches.
+
+    The scan (step) axis is leading and replicated; the per-step batch axis
+    (dim 1) shards over 'data' exactly like ``shard_batch`` does for a
+    single step's batch. Used by the scan-chunked train loop
+    (``training/loop.py``), which fuses K optimizer steps per dispatch.
+    """
+    def put(x):
+        sharding = NamedSharding(mesh, P(None, "data",
+                                         *([None] * (x.ndim - 2))))
+        if jax.process_count() > 1:
+            global_shape = (x.shape[0], x.shape[1] * jax.process_count(),
+                            *x.shape[2:])
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x), global_shape)
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, batches)
 
 
 # Parameter partition rules: path-regex -> PartitionSpec. Kernels of the wide

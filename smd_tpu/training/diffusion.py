@@ -30,7 +30,8 @@ from smd_tpu.training.state import TrainState
 from smd_tpu.utils import logging as log_lib
 
 __all__ = ["TrainConfig", "objective_by_name", "create_train_state",
-           "make_train_step", "make_eval_step", "evaluate", "fit"]
+           "make_train_step", "make_train_chunk", "make_eval_step",
+           "evaluate", "fit"]
 
 OBJECTIVES = {
     "dsm": losses_lib.denoising_score_matching_loss,
@@ -70,6 +71,11 @@ class TrainConfig:
     profile_steps: int = 0      # trace this many steps (0 = off)
     profile_start_step: int = 10
     debug_nans: bool = False
+    # Optimizer steps fused into one dispatch via lax.scan (1 = one dispatch
+    # per step). Amortizes the per-call host round-trip on remote/tunneled
+    # accelerators; snapshot/checkpoint boundaries are preserved (chunks are
+    # clamped to them). See make_train_chunk.
+    scan_chunk: int = 1
 
 
 def create_train_state(rng, model, sample_batch, cond_shape,
@@ -91,28 +97,68 @@ def create_train_state(rng, model, sample_batch, cond_shape,
     return state
 
 
+def _update(model, objective, sigmas, continuous_noise, lr_schedule,
+            state: TrainState, batch, rng):
+    """One optimizer step: loss + grad + clip + Adam + EMA, trace-level."""
+    def loss_fn(params):
+        model_fn = lambda x, cond: model.apply(params, x, cond)
+        loss = objective(batch, model_fn, sigmas, rng, continuous_noise,
+                         "mean")
+        return loss
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    grad_norm = jnp.sqrt(sum(
+        jnp.sum(jnp.square(g)) for g in jax.tree_util.tree_leaves(grads)))
+    new_state = state.apply_gradients(grads)
+    metrics = {"loss": loss, "grad": grad_norm}
+    if lr_schedule is not None:
+        metrics["lr"] = lr_schedule(state.step)
+    return new_state, metrics
+
+
 def make_train_step(model, objective, sigmas, continuous_noise: bool,
                     lr_schedule=None):
     """Build the fused train step. ``sigmas`` is closed over (resident)."""
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, rng):
-        def loss_fn(params):
-            model_fn = lambda x, cond: model.apply(params, x, cond)
-            loss = objective(batch, model_fn, sigmas, rng, continuous_noise,
-                             "mean")
-            return loss
-
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        grad_norm = jnp.sqrt(sum(
-            jnp.sum(jnp.square(g)) for g in jax.tree_util.tree_leaves(grads)))
-        new_state = state.apply_gradients(grads)
-        metrics = {"loss": loss, "grad": grad_norm}
-        if lr_schedule is not None:
-            metrics["lr"] = lr_schedule(state.step)
-        return new_state, metrics
+        return _update(model, objective, sigmas, continuous_noise,
+                       lr_schedule, state, batch, rng)
 
     return train_step
+
+
+def make_train_chunk(model, objective, sigmas, continuous_noise: bool,
+                     lr_schedule=None):
+    """K fused optimizer steps per dispatch (``lax.scan`` over the step).
+
+    On a remote/tunneled accelerator every jit call pays a host round-trip
+    (measured 0.1-0.5 s on the axon tunnel) that dwarfs the ~5 ms step
+    compute, so a per-step Python loop is dispatch-bound, not device-bound.
+    Scanning K steps inside one program amortizes the round-trip K-fold —
+    the same amortization ``training/distill.py`` and
+    ``scripts/train_musicvae.py --scan_chunk`` already use, available here
+    for the main harness (``loop.run_loop(scan_chunk=K)``).
+
+    ``train_chunk(state, batches, rng) -> (state, metrics)`` where
+    ``batches`` is a (K, batch, ...) stack and each metric value is a (K,)
+    array (row i = step i of the chunk).
+    """
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_chunk(state: TrainState, batches, rng):
+        keys = jax.random.split(rng, batches.shape[0])
+
+        def body(state, xs):
+            batch, key = xs
+            state, metrics = _update(model, objective, sigmas,
+                                     continuous_noise, lr_schedule, state,
+                                     batch, key)
+            return state, metrics
+
+        return jax.lax.scan(body, state, (batches, keys))
+
+    return train_chunk
 
 
 def make_eval_step(model, objective, sigmas, continuous_noise: bool):
@@ -169,7 +215,11 @@ def fit(model,
                                  config.continuous_noise, schedule)
     eval_step = make_eval_step(model, objective, sigmas,
                                config.continuous_noise)
+    train_chunk = (make_train_chunk(model, objective, sigmas,
+                                    config.continuous_noise, schedule)
+                   if config.scan_chunk > 1 else None)
     return loop_lib.run_loop(state, train_step, eval_step, train_data,
                              eval_data, config, model_dir=model_dir,
                              mesh=mesh, rng=rng, needs_rng=True,
-                             snapshot_callback=snapshot_callback)
+                             snapshot_callback=snapshot_callback,
+                             train_chunk=train_chunk)

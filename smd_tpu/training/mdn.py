@@ -21,7 +21,8 @@ from smd_tpu.training.optimizer import (make_optimizer,
 from smd_tpu.training.state import TrainState
 from smd_tpu.utils import logging as log_lib
 
-__all__ = ["create_train_state", "make_train_step", "make_eval_step", "fit"]
+__all__ = ["create_train_state", "make_train_step", "make_train_chunk",
+           "make_eval_step", "fit"]
 
 
 def create_train_state(rng, model, sample_batch, config: TrainConfig,
@@ -39,23 +40,42 @@ def create_train_state(rng, model, sample_batch, config: TrainConfig,
     return state
 
 
+def _update(model, lr_schedule, state: TrainState, batch):
+    def loss_fn(params):
+        pi, mu, log_sigma = model.apply(params, batch)
+        return mdn_nll(pi, mu, log_sigma, batch, "mean")
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    grad_norm = jnp.sqrt(sum(
+        jnp.sum(jnp.square(g)) for g in jax.tree_util.tree_leaves(grads)))
+    new_state = state.apply_gradients(grads)
+    metrics = {"loss": loss, "grad": grad_norm}
+    if lr_schedule is not None:
+        metrics["lr"] = lr_schedule(state.step)
+    return new_state, metrics
+
+
 def make_train_step(model, lr_schedule=None):
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch):
-        def loss_fn(params):
-            pi, mu, log_sigma = model.apply(params, batch)
-            return mdn_nll(pi, mu, log_sigma, batch, "mean")
-
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        grad_norm = jnp.sqrt(sum(
-            jnp.sum(jnp.square(g)) for g in jax.tree_util.tree_leaves(grads)))
-        new_state = state.apply_gradients(grads)
-        metrics = {"loss": loss, "grad": grad_norm}
-        if lr_schedule is not None:
-            metrics["lr"] = lr_schedule(state.step)
-        return new_state, metrics
+        return _update(model, lr_schedule, state, batch)
 
     return train_step
+
+
+def make_train_chunk(model, lr_schedule=None):
+    """K fused optimizer steps per dispatch — see
+    ``diffusion.make_train_chunk`` for why (dispatch amortization on
+    remote accelerators). ``batches`` is a (K, batch, ...) stack."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_chunk(state: TrainState, batches):
+        def body(state, batch):
+            return _update(model, lr_schedule, state, batch)
+
+        return jax.lax.scan(body, state, batches)
+
+    return train_chunk
 
 
 def make_eval_step(model):
@@ -88,7 +108,10 @@ def fit(model,
                                             config.lr_gamma, config.lr_warmup)
     train_step = make_train_step(model, schedule)
     eval_step = make_eval_step(model)
+    train_chunk = (make_train_chunk(model, schedule)
+                   if config.scan_chunk > 1 else None)
     return loop_lib.run_loop(state, train_step, eval_step, train_data,
                              eval_data, config, model_dir=model_dir,
                              mesh=mesh, rng=rng, needs_rng=False,
-                             snapshot_callback=snapshot_callback)
+                             snapshot_callback=snapshot_callback,
+                             train_chunk=train_chunk)

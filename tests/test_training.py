@@ -178,3 +178,107 @@ def test_toy_ncsn_ald_end_to_end(tmp_path):
     assert fd < 8.0, f"ALD FD too high: {fd}"
     frac_pos = (gen[:, 0] > 0).mean()
     assert 0.55 < frac_pos < 0.98
+
+
+def test_train_chunk_equals_sequential_steps():
+    """make_train_chunk(K batches, rng) == K make_train_step calls with the
+    chunk's split keys — bitwise-identical params, EMA, and loss rows."""
+    betas = schedules.noise_schedule(1e-6, 0.01, 10, "linear")
+    model = get_model("ToyDDPM", num_layers=1, mlp_dims=16)
+    objective = trainer.objective_by_name("ddpm")
+    config = trainer.TrainConfig(loss="ddpm", batch_size=8, ema=True)
+
+    def fresh_state():
+        return trainer.create_train_state(
+            jax.random.PRNGKey(0), model, (8, 2), (8, 1), config)
+
+    K = 3
+    batches = jnp.asarray(
+        np.random.default_rng(0).normal(size=(K, 8, 2)).astype(np.float32))
+    rng = jax.random.PRNGKey(5)
+    keys = jax.random.split(rng, K)
+
+    chunk_fn = trainer.make_train_chunk(model, objective, betas, True)
+    step_fn = trainer.make_train_step(model, objective, betas, True)
+
+    state_a, mk = chunk_fn(fresh_state(), batches, rng)
+    state_b = fresh_state()
+    seq_losses = []
+    for i in range(K):
+        state_b, m = step_fn(state_b, batches[i], keys[i])
+        seq_losses.append(float(m["loss"]))
+
+    assert int(state_a.step) == int(state_b.step) == K
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
+                    jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.ema_params),
+                    jax.tree_util.tree_leaves(state_b.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mk["loss"]), seq_losses, rtol=1e-5)
+
+
+def test_scan_chunk_fit_boundaries(tmp_path):
+    """Chunked fit clamps to snapshot/max-step boundaries exactly: snapshots
+    land at the same global steps as the per-step loop, and training stops
+    at max_steps even when it is not a chunk multiple."""
+    betas = schedules.noise_schedule(1e-6, 0.01, 10, "linear")
+
+    def run(scan_chunk, tag):
+        model = get_model("ToyDDPM", num_layers=1, mlp_dims=16)
+        config = trainer.TrainConfig(loss="ddpm", batch_size=8, epochs=1,
+                                     max_steps=10, snapshot_freq=6,
+                                     logging_freq=100, verbose=False,
+                                     scan_chunk=scan_chunk)
+        seen = []
+        state = trainer.fit(model, betas, _toy_batches(50, 8, -9, 9, 0),
+                            _toy_batches(1, 8, -9, 9, 1), (2,), config,
+                            str(tmp_path / tag),
+                            snapshot_callback=lambda s, em, i:
+                            seen.append(int(s.step)))
+        return int(state.step), seen
+
+    step_c, snaps_c = run(4, "chunked")    # chunks: 4, 2(clamp@6), 4 -> 10
+    step_s, snaps_s = run(1, "perstep")
+    assert step_c == step_s == 10
+    assert snaps_c == snaps_s == [6, 10]
+
+
+def test_scan_chunk_mdn_fit(tmp_path):
+    """The no-rng (MDN) harness drives the chunked loop too."""
+    from smd_tpu.training import mdn as mdn_trainer
+
+    model = get_model("TransformerMDN", num_layers=1, num_heads=2,
+                      num_mlp_layers=1, mlp_dims=32, mdn_mixtures=3)
+    config = trainer.TrainConfig(batch_size=4, epochs=1, max_steps=6,
+                                 snapshot_freq=100, logging_freq=100,
+                                 ema=False, verbose=False, scan_chunk=4)
+    rng = np.random.default_rng(0)
+
+    def data():
+        for _ in range(20):
+            yield rng.normal(size=(4, 6, 5)).astype(np.float32)
+
+    state = mdn_trainer.fit(model, data, lambda: [next(iter(data()))],
+                            (6, 5), config, str(tmp_path / "mdn"))
+    assert int(state.step) == 6
+
+
+def test_resume_at_completion_is_noop(tmp_path):
+    """Re-running a completed job must not train past max_steps (both the
+    per-step and chunked paths guard this)."""
+    betas = schedules.noise_schedule(1e-6, 0.01, 10, "linear")
+
+    for tag, chunk in (("s", 1), ("c", 4)):
+        model = get_model("ToyDDPM", num_layers=1, mlp_dims=16)
+        config = trainer.TrainConfig(loss="ddpm", batch_size=8, epochs=1,
+                                     max_steps=8, snapshot_freq=100,
+                                     logging_freq=100, verbose=False,
+                                     scan_chunk=chunk)
+        d = str(tmp_path / tag)
+        s1 = trainer.fit(model, betas, _toy_batches(20, 8, -9, 9, 0),
+                         _toy_batches(1, 8, -9, 9, 1), (2,), config, d)
+        assert int(s1.step) == 8
+        s2 = trainer.fit(model, betas, _toy_batches(20, 8, -9, 9, 2),
+                         _toy_batches(1, 8, -9, 9, 1), (2,), config, d)
+        assert int(s2.step) == 8
