@@ -41,6 +41,9 @@ def main():
     parser.add_argument("--distill_stage_steps", type=int, default=3000,
                         help="Optimizer steps per progressive-distillation "
                         "stage (0 disables the distilled rows).")
+    parser.add_argument("--distill_end", type=int, default=2,
+                        help="Last distilled step count (1 adds the "
+                        "single-jump student row).")
     parser.add_argument("--distill_start", type=int, default=8,
                         help="First distilled step count. Measured: 8 "
                         "(teacher = the 16-level lambda grid, the best "
@@ -151,11 +154,12 @@ def main():
 
         stages = distill.progressive_distill(
             model, params, betas, batches(),
-            start_steps=args.distill_start, end_steps=2,
+            start_steps=args.distill_start, end_steps=args.distill_end,
             steps_per_stage=args.distill_stage_steps, learning_rate=1e-4,
             seed=2)
         results["distill_seconds"] = round(time.time() - t0, 1)
-        for n in (4, 2):
+        row_steps = [n for n in (4, 2, 1) if n in stages]
+        for n in row_steps:
             st = stages[n]
             st_bf16 = jax.tree_util.tree_map(
                 lambda p: jnp.asarray(p, jnp.bfloat16), st["params"])
