@@ -9,10 +9,15 @@ Everything the reference needed Beam + TF1 MusicVAE + Ray + missing metric
 code for, in one script on one TPU chip. Moderate scale (small codec, short
 training) so it finishes in minutes; every stage is the production code path.
 
-Run: python benchmarks/full_workflow.py
+Run: python benchmarks/full_workflow.py [--codec=inline|shipped]
+
+``--codec=shipped`` replaces the inline miniature codec train with the
+shipped melody artifact (the cat-mel_2bar_big bundle when present) — the
+production encode/decode quality instead of the 2-minute toy fit.
 """
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -48,6 +53,11 @@ def make_corpus(n_songs, rng):
 
 
 def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--codec", choices=("inline", "shipped"),
+                        default="inline")
+    args = parser.parse_args()
+
     import optax
     from smd_tpu.codec.melody import melody_2bar_converter
     from smd_tpu.codec.musicvae import (MusicVAE, MusicVAEConfig, elbo_loss,
@@ -70,7 +80,16 @@ def main():
     chunks = np.stack(chunks)
     results["corpus"] = {"songs": len(songs), "chunks_2bar": len(chunks)}
 
-    # ---- 2. train the codec ---------------------------------------------
+    # ---- 2. train the codec (or load the shipped artifact) --------------
+    if args.codec == "shipped":
+        codec = TrainedMusicVAE()   # auto-loads the shipped melody bundle
+        results["vae"] = {
+            "source": "shipped artifact",
+            "latent_dims": codec.config.latent_dims,
+            "enc_units": codec.config.enc_units,
+            "dec_units": list(codec.config.dec_units)}
+        return finish(results, songs, codec, rng_np, t_start,
+                      shipped=True)
     cfg = MusicVAEConfig(latent_dims=64, enc_units=256, dec_units=(256, 256),
                          depth=90, max_seq_len=32, free_bits=16.0, beta=0.2)
     vae = MusicVAE(cfg)
@@ -106,22 +125,63 @@ def main():
     results["vae"] = {"steps": 1500,
                       "teacher_forced_recon_acc": round(float(acc), 4)}
     codec = TrainedMusicVAE(params=params, config=cfg)
+    return finish(results, songs, codec, rng_np, t_start, shipped=False)
+
+
+def finish(results, songs, codec, rng_np, t_start, shipped: bool):
+    """Steps 3-6: encode -> diffusion -> sample -> decode -> score."""
+    from smd_tpu.codec.melody import melody_2bar_converter
+    from smd_tpu.codec.song import Song, encode_songs, embeddings_to_song
+    from smd_tpu.diffusion import samplers, schedules
+    from smd_tpu.eval import metrics, midi_metrics
+    from smd_tpu.models import get_model
+    from smd_tpu.training import diffusion as trainer
 
     # ---- 3. encode corpus to latent sequences ---------------------------
     song_objs = [Song(ns, melody_2bar_converter, chunk_length=2)
                  for ns in songs]
     encodings = encode_songs(codec, song_objs)
+    ld = codec.config.latent_dims
     ctx = 4
     windows = []
     for enc in encodings:
-        z = enc[0]  # z component, (n_chunks, 64)
+        z = enc[0]  # z component, (n_chunks, ld)
         for i in range(0, len(z) - ctx + 1):
             w = z[i:i + ctx]
             if (np.linalg.norm(w, axis=1) > 1e-6).all():
                 windows.append(w)
     windows = np.stack(windows).astype(np.float32)
-    lo, hi = windows.min(), windows.max()
-    data = 2 * (windows - lo) / (hi - lo) - 1
+
+    if shipped:
+        # The reference's melody pipeline slices the 512-d latent to its
+        # top-variance dims before diffusion (its slice-mel-512.pkl keeps
+        # 42 of 512; generate_compressed_transform.py is the fitter): a
+        # free-bits posterior leaves most dims carrying ~no information,
+        # and standardizing dead dims turns them into unpredictable
+        # unit-variance noise that floors the diffusion loss. Same recipe
+        # refit on this codec's corpus variances.
+        from smd_tpu.data.transforms import SliceTransform
+        n_keep = 42
+        st = SliceTransform.fit(windows.reshape(-1, ld), keep=n_keep)
+        sliced = st.transform(windows)
+        d_mean = sliced.reshape(-1, n_keep).mean(axis=0)
+        d_std = sliced.reshape(-1, n_keep).std(axis=0) + 1e-6
+        data = np.clip((sliced - d_mean) / (3.0 * d_std), -1.0, 1.0)
+
+        def from_model(gen_norm):
+            lat = gen_norm * (3.0 * d_std) + d_mean
+            # randn prior fill for the dropped (dead-posterior) dims —
+            # the reference's inverse recipe (input_pipeline.py:103-105).
+            return st.inverse_transform(lat, out_channels=ld,
+                                        rng=np.random.default_rng(5))
+    else:
+        lo, hi = windows.min(), windows.max()
+        data = 2 * (windows - lo) / (hi - lo) - 1
+
+        def from_model(gen_norm):
+            return (gen_norm + 1) / 2 * (hi - lo) + lo
+
+    latent = data.shape[-1]
     results["latents"] = {"windows": len(windows), "shape": list(data.shape)}
 
     # ---- 4. train the diffusion model -----------------------------------
@@ -131,7 +191,7 @@ def main():
     config = trainer.TrainConfig(loss="ddpm", learning_rate=1e-3,
                                  batch_size=64)
     state = trainer.create_train_state(jax.random.PRNGKey(1), model,
-                                       (64, ctx, 64), (64, 1, 1), config)
+                                       (64, ctx, latent), (64, 1, 1), config)
     step_fn = trainer.make_train_step(
         model, trainer.objective_by_name("ddpm"), betas, True)
     rng = jax.random.PRNGKey(2)
@@ -148,18 +208,18 @@ def main():
     # ---- 5. sample + decode back to MIDI --------------------------------
     mparams = state.sampling_params
     model_fn = lambda x, c: model.apply(mparams, x, c)
-    init = jax.random.normal(jax.random.PRNGKey(3), (128, ctx, 64))
+    init = jax.random.normal(jax.random.PRNGKey(3), (128, ctx, latent))
     out = samplers.ddim_dynamics(jax.random.PRNGKey(4), model_fn, betas,
                                  init, num_steps=50)
     gen_norm = np.asarray(out.state)
-    gen_lat = (gen_norm + 1) / 2 * (hi - lo) + lo
+    gen_lat = from_model(gen_norm)
 
     real_norm = data[rng_np.integers(0, len(data), 128)]
     fd = metrics.frechet_distance(real_norm.reshape(128, -1),
                                   gen_norm.reshape(128, -1))
     fd_noise = metrics.frechet_distance(
         real_norm.reshape(128, -1),
-        rng_np.normal(size=(128, ctx * 64)))
+        rng_np.normal(size=(128, ctx * latent)))
     results["latent_fd"] = {"generated": round(fd, 3),
                             "random_baseline": round(fd_noise, 3)}
 

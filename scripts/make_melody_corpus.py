@@ -24,6 +24,11 @@ FLAGS = flags.FLAGS
 flags.DEFINE_string("output_dir", None, "Directory for .mid files.")
 flags.DEFINE_integer("n_songs", 2000, "Number of songs to generate.")
 flags.DEFINE_integer("seed", 0, "PRNG seed.")
+flags.DEFINE_integer("min_bars", 12, "Minimum song length in bars.")
+flags.DEFINE_integer("max_bars", 40, "Maximum song length in bars "
+                     "(exclusive). Raise both for 16-bar-chunk corpora: "
+                     "the melody16 converter needs >=16-bar melodies and "
+                     "strides 16 bars per chunk.")
 
 SCALES = {
     "major": [0, 2, 4, 5, 7, 9, 11],
@@ -56,7 +61,7 @@ def make_motif(rng, scale_len):
     return np.cumsum(steps)
 
 
-def make_song(rng):
+def make_song(rng, min_bars=12, max_bars=40):
     from smd_tpu.codec.note_sequence import (NoteSequence, Tempo,
                                              TimeSignature)
     scale_name = rng.choice(list(SCALES))
@@ -70,7 +75,7 @@ def make_song(rng):
     motif = make_motif(rng, len(scale))
     degree = int(rng.integers(0, len(scale)))
     t = 0.0
-    n_bars = int(rng.integers(12, 40))
+    n_bars = int(rng.integers(min_bars, max_bars))
     bars_done = 0
     while bars_done < n_bars:
         rhythm = RHYTHMS[int(rng.integers(0, len(RHYTHMS)))]
@@ -110,7 +115,7 @@ def main(argv):
     rng = np.random.default_rng(FLAGS.seed)
     os.makedirs(FLAGS.output_dir, exist_ok=True)
     for i in range(FLAGS.n_songs):
-        ns = make_song(rng)
+        ns = make_song(rng, FLAGS.min_bars, FLAGS.max_bars)
         midi_io.write_midi_file(
             ns, os.path.join(FLAGS.output_dir, f"song_{i:05d}.mid"))
         if (i + 1) % 500 == 0:
