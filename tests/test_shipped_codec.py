@@ -94,3 +94,44 @@ def test_shipped_multi_codec_roundtrips(shipped_multi):
     f1s = [note_f1(r, d, vae.converter.steps_per_quarter)[2]
            for r, d in zip(real_ns, dec_ns)]
     assert float(np.mean(f1s)) > 0.6, f"mean note F1 {np.mean(f1s):.3f}"
+
+
+@pytest.fixture(scope="module")
+def shipped_mel16():
+    params = mv.load_default_melody16_params()
+    if params is None:
+        pytest.skip("no shipped 16-bar hierdec codec artifact")
+    return params
+
+
+def test_auto_loads_for_melody16_shape(shipped_mel16):
+    """melody-16-big constructions pick up the shipped hierdec artifact."""
+    from smd_tpu.config import MUSIC_VAE_CONFIG
+    entry = MUSIC_VAE_CONFIG["melody-16-big"]
+    vae = mv.TrainedMusicVAE(config=entry.model,
+                             converter=entry.data_converter)
+    assert not vae.random_weights
+    assert vae.config.hier_segments == 16
+    assert vae.config.max_seq_len == 256
+    assert shipped_mel16["metrics"]["eval_roundtrip_acc"] > 0.7
+
+
+def test_shipped_melody16_roundtrips_a_long_melody(shipped_mel16):
+    """encode -> mu -> decode on a fresh 16-bar melody (unseen seed)."""
+    import numpy as np
+    from scripts.make_melody_corpus import make_song
+    from smd_tpu.config import MUSIC_VAE_CONFIG
+    entry = MUSIC_VAE_CONFIG["melody-16-big"]
+    vae = mv.TrainedMusicVAE(config=entry.model,
+                             converter=entry.data_converter)
+    rng = np.random.default_rng(31337)   # fresh seed, unseen songs
+    chunks = []
+    while len(chunks) < 8:
+        chunks.extend(vae.converter.to_tensors(make_song(
+            rng, min_bars=20, max_bars=40)).inputs[::16])
+    chunks = chunks[:8]
+    z, mu, sigma = vae.encode_tensors(chunks)
+    tokens = vae.decode_to_tensors(mu)
+    labels = np.stack([np.asarray(c).argmax(-1) for c in chunks])
+    acc = float((tokens == labels).mean())
+    assert acc > 0.7, f"16-bar round-trip token accuracy {acc:.3f}"
