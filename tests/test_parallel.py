@@ -120,6 +120,47 @@ def test_fit_with_mesh(tmp_path):
     assert int(state.step) == 4
 
 
+def test_fit_with_mesh_scan_chunk(tmp_path):
+    """The chunked loop under a DP mesh: shard_chunk stacks shard the
+    per-step batch axis (dim 1) over 'data' and boundaries still hold."""
+    import numpy as np
+    from smd_tpu.training import diffusion as trainer_mod
+
+    mesh = mesh_lib.make_mesh()
+    betas = schedules.noise_schedule(1e-6, 0.01, 10, "linear")
+    model = get_model("ToyDDPM", num_layers=1, mlp_dims=16)
+    config = trainer_mod.TrainConfig(loss="ddpm", batch_size=16, epochs=1,
+                                     max_steps=6, snapshot_freq=4,
+                                     logging_freq=100, verbose=False,
+                                     scan_chunk=4)
+    rng = np.random.default_rng(0)
+
+    def data():
+        for _ in range(10):
+            yield rng.normal(size=(16, 2)).astype(np.float32) * 0.3
+
+    seen = []
+    state = trainer_mod.fit(model, betas, data, lambda: list(data())[:1],
+                            (2,), config, str(tmp_path / "mesh_chunk"),
+                            mesh=mesh,
+                            snapshot_callback=lambda s, em, i:
+                            seen.append(int(s.step)))
+    assert int(state.step) == 6
+    assert seen == [4, 6]
+
+
+def test_shard_chunk_layout():
+    """shard_chunk: leading scan axis replicated, batch axis sharded."""
+    import numpy as np
+
+    mesh = mesh_lib.make_mesh()
+    x = np.zeros((3, 16, 2), np.float32)
+    arr = mesh_lib.shard_chunk(x, mesh)
+    assert arr.shape == (3, 16, 2)
+    spec = arr.sharding.spec
+    assert spec[0] is None and spec[1] == "data"
+
+
 def test_pipeline_sharding(tmp_path, np_rng):
     """Per-host dataset sharding yields disjoint subsets."""
     from smd_tpu.data import pipeline, records, synthetic
