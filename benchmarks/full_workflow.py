@@ -83,6 +83,12 @@ def main():
     # ---- 2. train the codec (or load the shipped artifact) --------------
     if args.codec == "shipped":
         codec = TrainedMusicVAE()   # auto-loads the shipped melody bundle
+        if codec.random_weights:
+            raise SystemExit(
+                "--codec=shipped: no shipped melody artifact found under "
+                "checkpoints/ — refusing to report random-weights numbers "
+                "as 'shipped artifact'. Train one with "
+                "scripts/train_musicvae.py or run with --codec=inline.")
         results["vae"] = {
             "source": "shipped artifact",
             "latent_dims": codec.config.latent_dims,

@@ -162,14 +162,15 @@ def main():
         for i in range(0, len(mu) - args.window + 1):
             windows.append(mu[i:i + args.window])
     data = np.stack(windows).astype(np.float32)
-    # Slice-transform recipe (see full_workflow_multi): keep top-variance
-    # dims, normalize to [-1, 1].
+    # The reference's slice-transform recipe (data/transforms.py, shared
+    # with full_workflow.py's shipped branch): keep top-variance dims,
+    # normalize to [-1, 1].
+    from smd_tpu.data.transforms import SliceTransform
     n_keep = min(128, data.shape[-1])
-    full_std = data.reshape(-1, data.shape[-1]).std(axis=0)
-    keep = np.argsort(full_std)[::-1][:n_keep].copy()
-    sliced = data[..., keep]
-    d_mean = sliced.mean(axis=(0, 1), keepdims=True)
-    d_std = sliced.std(axis=(0, 1), keepdims=True) + 1e-6
+    st = SliceTransform.fit(data.reshape(-1, data.shape[-1]), keep=n_keep)
+    sliced = st.transform(data)
+    d_mean = sliced.reshape(-1, n_keep).mean(axis=0)
+    d_std = sliced.reshape(-1, n_keep).std(axis=0) + 1e-6
     data_n = np.clip((sliced - d_mean) / (3.0 * d_std), -1.0, 1.0)
     results["encode"] = {"windows": int(len(data_n)),
                          "seconds": round(time.time() - t0, 1)}
@@ -223,9 +224,11 @@ def main():
                             "random_baseline": round(fd_noise, 2)}
 
     gen_k = (gen_n * (3.0 * d_std) + d_mean).reshape(-1, n_keep)
-    fill = data.reshape(-1, data.shape[-1]).mean(axis=0)
-    gen = np.tile(fill, (len(gen_k), 1)).astype(np.float32)
-    gen[:, keep] = gen_k
+    # randn prior fill for the dropped (dead-posterior) dims — the
+    # reference's inverse recipe (input_pipeline.py:103-105).
+    gen = st.inverse_transform(gen_k, out_channels=data.shape[-1],
+                               rng=np.random.default_rng(5)).astype(
+                                   np.float32)
     decoded_ns = []
     for i in range(0, min(len(gen), 64), 32):
         decoded_ns.extend(codec.decode(gen[i:i + 32]))

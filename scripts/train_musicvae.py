@@ -235,10 +235,6 @@ def main(argv):
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, aux
 
-    @jax.jit
-    def train_step(params, opt_state, batch, rng, ss_prob):
-        return _update(params, opt_state, batch, rng, ss_prob)
-
     from functools import partial
 
     @partial(jax.jit, donate_argnums=(0, 1))

@@ -473,6 +473,13 @@ class TrainedMusicVAE:
             if config.hier_segments > 0 and \
                     config.depth == multiperf_default_1bar_converter.depth:
                 converter = multiperf_default_1bar_converter
+            elif config.max_seq_len != 32 and config.max_seq_len % 16 == 0:
+                # Melody-vocab codec over longer chunks (e.g. the 16-bar
+                # hierdec, max_seq_len=256): match slice_bars to the
+                # sequence length (16 grid steps/bar at steps_per_quarter=4)
+                # so encode() chunks what the codec was trained on.
+                converter = MelodyConverter(
+                    steps_per_quarter=4, slice_bars=config.max_seq_len // 16)
             else:
                 converter = melody_2bar_converter
         self.converter = converter

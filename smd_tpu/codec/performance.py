@@ -208,21 +208,23 @@ class MultiInstrumentPerformanceConverter:
                 streams.append(ev)
             if streams is None:
                 continue
+            # Canonical segment order: sort streams lexicographically by
+            # their event ids (the leading PROGRAM/DRUMS token dominates, so
+            # this is program-major with drums last). Without this, which
+            # conductor segment an instrument lands in depends on the NOTE
+            # ORDER of the input NoteSequence — in-memory sequences list
+            # notes instrument-by-instrument while MIDI files read back
+            # time-interleaved, and a codec trained on one ordering measured
+            # note-F1 0.16 on the other (round-2 "timing OOD" cliff: it was
+            # segment order, not timing — the streams matched as a set).
+            # Sorting BEFORE truncation keeps the kept-subset order-invariant
+            # too (truncating first would keep whichever 8 instruments were
+            # seen first in note order).
+            streams.sort()
             if len(streams) > self.max_num_instruments:
                 if not self.drop_tracks_and_truncate:
                     continue
                 streams = streams[:self.max_num_instruments]
-            # Canonical segment order: sort streams lexicographically by
-            # their event ids (the leading PROGRAM/DRUMS token dominates, so
-            # this is program-major with drums last; truncation above still
-            # drops latest-seen instruments). Without this, which conductor
-            # segment an instrument lands in depends on the NOTE ORDER of
-            # the input NoteSequence — in-memory sequences list notes
-            # instrument-by-instrument while MIDI files read back
-            # time-interleaved, and a codec trained on one ordering measured
-            # note-F1 0.16 on the other (round-2 "timing OOD" cliff: it was
-            # segment order, not timing — the streams matched as a set).
-            streams.sort()
             if len(streams) < self.min_num_instruments:
                 continue
             total_events = sum(len(s) - 1 for s in streams)  # sans program

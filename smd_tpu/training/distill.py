@@ -252,9 +252,13 @@ def progressive_distill(model,
         {num_steps: {"params": ..., "grid": (num_steps+1,) ndarray}} for
         every stage (sampling params: EMA when enabled).
     """
-    if start_steps < end_steps or start_steps % end_steps:
+    ratio = start_steps // max(end_steps, 1)
+    if start_steps < end_steps or start_steps % max(end_steps, 1) \
+            or ratio & (ratio - 1):
         raise ValueError(f"start_steps={start_steps} must be a power-of-2 "
-                         f"multiple of end_steps={end_steps}")
+                         f"multiple of end_steps={end_steps} (the halving "
+                         f"loop otherwise never produces the "
+                         f"{end_steps}-step stage)")
     import optax
 
     rng = jax.random.PRNGKey(seed)

@@ -363,3 +363,23 @@ def test_hier_decode_length_divisibility_guard():
     logits, samples = model.apply(params, jnp.zeros((2, 8)), rng, length=16,
                                   method=mv.MusicVAE.decode)
     assert samples.shape == (2, 16)
+
+
+def test_converter_inference_matches_codec_seq_len():
+    """TrainedMusicVAE infers a converter whose chunk length matches the
+    codec's max_seq_len: a 16-bar hierdec melody codec (256 steps) must NOT
+    get the 2-bar converter (encode would chunk 32-step tensors into a
+    256-step model with no error)."""
+    from smd_tpu.codec.musicvae import MusicVAEConfig, TrainedMusicVAE
+
+    cfg16 = MusicVAEConfig(latent_dims=16, enc_units=32, dec_units=(32, 32),
+                           depth=90, max_seq_len=256, hier_segments=16,
+                           conductor_units=16)
+    vae = TrainedMusicVAE(config=cfg16)
+    assert vae.converter.slice_bars == 16
+    assert vae.converter.seq_len == 256
+
+    cfg2 = MusicVAEConfig(latent_dims=16, enc_units=32, dec_units=(32, 32),
+                          depth=90, max_seq_len=32)
+    vae2 = TrainedMusicVAE(config=cfg2)
+    assert vae2.converter.slice_bars == 2

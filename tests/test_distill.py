@@ -159,3 +159,14 @@ def test_progressive_distill_toy_beats_fewstep_ddim(tmp_path):
         k, base_fn, betas, x, num_steps=2).state)
     assert fds[2] < 0.6 * fd_ddim2, \
         f"2-step: distilled FD {fds[2]:.2f} vs DDIM-2 {fd_ddim2:.2f}"
+
+
+def test_progressive_distill_rejects_non_power_of_2_ratio():
+    """start=6,end=2 passes divisibility but the halving loop would emit
+    stages {6,3} and never the requested 2-step bundle — must raise."""
+    betas = _betas()
+    for start, end in [(6, 2), (12, 2), (20, 4), (2, 4)]:
+        with pytest.raises(ValueError):
+            distill.progressive_distill(
+                None, None, betas, iter([]), start_steps=start,
+                end_steps=end, steps_per_stage=1)

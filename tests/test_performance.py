@@ -216,3 +216,32 @@ def test_multiperf_memory_vs_midi_file_chunks_match():
                      for x, y in zip(a, b)])
     # Tiny residue allowed: MIDI tick rounding can nudge one event.
     assert match > 0.97, f"memory-vs-file chunk token match {match:.3f}"
+
+
+def test_multiperf_truncation_is_note_order_invariant():
+    """With >max_num_instruments streams, WHICH instruments survive
+    truncation must not depend on input note order: canonical sort runs
+    before the truncation cut (an instrument-major listing and a
+    time-interleaved listing of the same music must keep the same 8)."""
+    conv = multiperf_zero_1bar_converter   # drop_tracks_and_truncate=True
+    n_inst = conv.max_num_instruments + 2
+
+    def build(reverse):
+        ns = _ns()
+        insts = list(range(n_inst))
+        if reverse:
+            insts = insts[::-1]
+        for inst in insts:
+            prog = 8 * inst   # distinct programs -> deterministic sort
+            ns.add_note(48 + inst, 90, 0.125 * inst, 0.125 * inst + 0.25,
+                        instrument=inst, program=prog)
+        out = conv.to_tensors(ns).inputs
+        assert len(out) == 1
+        return out[0]
+
+    a, b = build(False), build(True)
+    np.testing.assert_array_equal(a, b)
+    # The kept subset is the 8 lowest program tokens, not first-seen.
+    first_tokens = a.argmax(-1).reshape(conv.max_num_instruments, -1)[:, 0]
+    progs = [int(t) - conv._vocab.program0 for t in first_tokens]
+    assert progs == [8 * i for i in range(conv.max_num_instruments)]

@@ -113,6 +113,17 @@ def run_distillation(train_ds, eval_ds):
     model, state = cli.restore_state_for_sampling(input_shape)
     params = state.sampling_params if FLAGS.ema else state.params
     betas = cli.schedule_from_flags()
+    # Distillation teaches the DDIM update on a DDPM beta schedule; an NCSN
+    # score-matching checkpoint (geometric sigma schedule, sigmas near 1)
+    # makes cumprod(1-beta) hit <=0 and the lambda grid NaN — stages would
+    # save "successfully" and detonate at sampling time.
+    if FLAGS.loss != "ddpm" or float(np.max(np.asarray(betas))) >= 1.0:
+        raise ValueError(
+            "--distill requires a DDPM checkpoint (--loss=ddpm with a beta "
+            f"schedule < 1); got --loss={FLAGS.loss}, max schedule value "
+            f"{float(np.max(np.asarray(betas))):.4f}. Progressive "
+            "distillation of score-matching (ALD) samplers is not "
+            "supported.")
 
     def batches():
         while True:
