@@ -29,7 +29,8 @@ flags.DEFINE_string("input", None, "Glob of evaluation MIDI files.")
 flags.DEFINE_string("vae_params", None,
                     "Codec artifact; defaults to the shipped codec for the "
                     "chosen mode.")
-flags.DEFINE_enum("mode", "melody", ["melody", "multi"], "Codec family.")
+flags.DEFINE_enum("mode", "melody", ["melody", "melody16", "multi"],
+                  "Codec family (melody16: the 16-bar hierdec codec).")
 flags.DEFINE_integer("max_chunks", 1024, "Evaluation chunk cap.")
 flags.DEFINE_integer("batch_size", 256, "Encode/decode batch size.")
 flags.DEFINE_integer("seed", 0, "Shuffle seed.")
@@ -47,6 +48,11 @@ def main(argv):
     if FLAGS.mode == "multi":
         from smd_tpu.config import MUSIC_VAE_CONFIG
         entry = MUSIC_VAE_CONFIG["multi-1-big"]
+        converter, config = entry.data_converter, entry.model
+        spq = converter.steps_per_quarter
+    elif FLAGS.mode == "melody16":
+        from smd_tpu.config import MUSIC_VAE_CONFIG
+        entry = MUSIC_VAE_CONFIG["melody-16-big"]
         converter, config = entry.data_converter, entry.model
         spq = converter.steps_per_quarter
     else:
@@ -72,8 +78,9 @@ def main(argv):
             chunks.extend(converter.to_tensors(ns).inputs)
         else:
             from smd_tpu.codec.melody import extract_melodies
+            stride = converter.slice_bars   # non-overlapping chunks
             for m in extract_melodies(ns):
-                chunks.extend(converter.to_tensors(m).inputs[::2])
+                chunks.extend(converter.to_tensors(m).inputs[::stride])
         if len(chunks) >= FLAGS.max_chunks:
             break
     chunks = chunks[:FLAGS.max_chunks]
