@@ -104,8 +104,7 @@ def main():
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-3))
     opt_state = tx.init(params)
 
-    @jax.jit
-    def vae_step(params, opt_state, batch, k):
+    def _vae_update(params, opt_state, batch, k):
         def loss_fn(p):
             logits, mu, sigma = vae.apply(p, batch, k)
             loss, aux = elbo_loss(logits, batch, mu, sigma, cfg.free_bits,
@@ -118,12 +117,30 @@ def main():
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss, acc
 
+    # K fused steps per dispatch: on the tunneled chip a per-step Python
+    # loop is dispatch-bound (0.1-0.5 s/call), not device-bound.
+    @jax.jit
+    def vae_chunk(params, opt_state, batches, k):
+        keys = jax.random.split(k, batches.shape[0])
+
+        def body(carry, xs):
+            params, opt_state = carry
+            batch, key = xs
+            params, opt_state, loss, acc = _vae_update(params, opt_state,
+                                                       batch, key)
+            return (params, opt_state), (loss, acc)
+
+        (params, opt_state), (losses, accs) = jax.lax.scan(
+            body, (params, opt_state), (batches, keys))
+        return params, opt_state, losses[-1], accs[-1]
+
     n = len(chunks)
     acc = 0.0
-    for step in range(1500):
-        idx = rng_np.integers(0, n, 64)
+    K = 50
+    for step in range(0, 1500, K):
+        idx = rng_np.integers(0, n, (K, 64))
         rng, k = jax.random.split(rng)
-        params, opt_state, loss, acc = vae_step(
+        params, opt_state, loss, acc = vae_chunk(
             params, opt_state, jnp.asarray(chunks[idx]), k)
         if step % 500 == 0:
             print(f"vae step {step}: elbo {float(loss):.2f} "
@@ -198,18 +215,21 @@ def finish(results, songs, codec, rng_np, t_start, shipped: bool):
                                  batch_size=64)
     state = trainer.create_train_state(jax.random.PRNGKey(1), model,
                                        (64, ctx, latent), (64, 1, 1), config)
-    step_fn = trainer.make_train_step(
+    # K fused steps per dispatch: on the tunneled chip a per-step Python
+    # loop is dispatch-bound (0.1-0.5 s/call), not device-bound.
+    step_fn = trainer.make_train_chunk(
         model, trainer.objective_by_name("ddpm"), betas, True)
     rng = jax.random.PRNGKey(2)
-    for step in range(3000):
-        idx = rng_np.integers(0, len(data), 64)
+    K = 50
+    for step in range(0, 3000, K):
+        idx = rng_np.integers(0, len(data), (K, 64))
         rng, k = jax.random.split(rng)
         state, m = step_fn(state, jnp.asarray(data[idx]), k)
         if step % 1000 == 0:
-            print(f"ddpm step {step}: loss {float(m['loss']):.4f}",
+            print(f"ddpm step {step}: loss {float(m['loss'][-1]):.4f}",
                   file=sys.stderr)
     results["diffusion"] = {"steps": 3000,
-                            "final_loss": round(float(m["loss"]), 4)}
+                            "final_loss": round(float(m["loss"][-1]), 4)}
 
     # ---- 5. sample + decode back to MIDI --------------------------------
     mparams = state.sampling_params

@@ -119,15 +119,18 @@ def main():
     state = trainer.create_train_state(jax.random.PRNGKey(1), model,
                                        (64, args.window, latent),
                                        (64, 1, 1), config)
-    step_fn = trainer.make_train_step(
+    # K fused steps per dispatch: on the tunneled chip a per-step Python
+    # loop is dispatch-bound (0.1-0.5 s/call), not device-bound.
+    step_fn = trainer.make_train_chunk(
         model, trainer.objective_by_name("ddpm"), betas, True)
     rng = jax.random.PRNGKey(2)
-    for i in range(args.steps):
-        idx = rng_np.integers(0, len(data_n), 64)
+    K = 50
+    for i in range(0, args.steps, K):
+        idx = rng_np.integers(0, len(data_n), (K, 64))
         rng, k = jax.random.split(rng)
         state, m = step_fn(state, jnp.asarray(data_n[idx]), k)
     results["diffusion_train"] = {
-        "steps": args.steps, "loss": round(float(m["loss"]), 4),
+        "steps": args.steps, "loss": round(float(m["loss"][-1]), 4),
         "seconds": round(time.time() - t0, 1)}
 
     # ---- 4. sample + decode back to MIDI --------------------------------
