@@ -93,8 +93,9 @@ def define_diffusion_flags():
     flags.DEFINE_float("sigma_end", 1e-2,
                        "Ending variance for noise schedule.")
     flags.DEFINE_enum("schedule_type", "geometric",
-                      ["geometric", "linear", "fibonacci"],
-                      "Noise schedule configuration.")
+                      ["geometric", "linear", "fibonacci", "cosine"],
+                      "Noise schedule configuration (cosine: improved-DDPM "
+                      "betas; sigma_begin/sigma_end ignored).")
     flags.DEFINE_integer("num_sigmas", 15,
                          "Number of sigma values (L) in noise schedule.")
     # Langevin dynamics (NCSN only)

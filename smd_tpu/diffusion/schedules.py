@@ -31,7 +31,10 @@ def noise_schedule(sigma_begin: float = 1.0,
         sigma_begin: first value of the schedule.
         sigma_end: last value of the schedule (unused for ``fibonacci``).
         num: number of levels (L for NCSN sigmas, T for DDPM betas).
-        kind: ``geometric`` (log-space linspace), ``linear`` or ``fibonacci``.
+        kind: ``geometric`` (log-space linspace), ``linear``, ``fibonacci``
+            or ``cosine`` (Nichol & Dhariwal 2021 betas from the squared-
+            cosine alpha-bar curve; ``sigma_begin``/``sigma_end`` are
+            ignored, like ``fibonacci`` ignores ``sigma_end``).
 
     Returns:
         Array of shape ``(num,)`` and dtype float32.
@@ -40,6 +43,14 @@ def noise_schedule(sigma_begin: float = 1.0,
         sig = np.exp(np.linspace(np.log(sigma_begin), np.log(sigma_end), num))
     elif kind == "linear":
         sig = np.linspace(sigma_begin, sigma_end, num)
+    elif kind == "cosine":
+        # Improved DDPM (arXiv:2102.09672 eq. 17): alpha_bar(t) =
+        # cos^2((t/T + s)/(1 + s) * pi/2), beta_t = 1 - abar_t/abar_{t-1},
+        # clipped at 0.999 to keep the late steps invertible.
+        s = 0.008
+        t = np.arange(num + 1) / num
+        abar = np.cos((t + s) / (1 + s) * np.pi / 2) ** 2
+        sig = np.clip(1.0 - abar[1:] / abar[:-1], 0.0, 0.999)
     elif kind == "fibonacci":
         vals = [1e-6, 2e-6]
         for _ in range(num - 2):

@@ -51,3 +51,27 @@ def test_ddpm_constants_math():
         (1 - aprod), rtol=2e-4)
     assert np.isfinite(np.asarray(c.posterior_log_var)).all()
     assert c.num_steps == 100
+
+
+def test_cosine_schedule_matches_improved_ddpm_curve():
+    """kind='cosine' produces improved-DDPM betas: alpha-bar follows the
+    squared-cosine curve, betas increase and stay below the 0.999 clip."""
+    import numpy as np
+
+    from smd_tpu.diffusion import schedules
+
+    T = 1000
+    betas = np.asarray(schedules.noise_schedule(num=T, kind="cosine"))
+    assert betas.shape == (T,)
+    assert (betas > 0).all() and (betas <= 0.999).all()
+    assert (np.diff(betas) >= -1e-6).all()   # monotone nondecreasing
+    abar = np.cumprod(1.0 - betas)
+    s = 0.008
+    t = np.arange(1, T + 1) / T
+    expect = (np.cos((t + s) / (1 + s) * np.pi / 2) ** 2
+              / np.cos(s / (1 + s) * np.pi / 2) ** 2)
+    # Exact wherever the 0.999 clip is inactive (the clip binds only at
+    # the very last steps where alpha-bar -> 0); fp32 schedule storage
+    # bounds the tolerance.
+    np.testing.assert_allclose(abar[:-5], expect[:-5], rtol=1e-3,
+                               atol=1e-7)
