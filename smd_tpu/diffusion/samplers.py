@@ -409,6 +409,8 @@ def dpmpp_dynamics(rng,
                    infill_samples=None,
                    infill_masks=None,
                    lam_max: Optional[float] = 2.5,
+                   collect_steps: int = 0,
+                   collect_metrics: bool = False,
                    constants: Optional[schedules.DDPMConstants] = None
                    ) -> SamplerOutput:
     """DPM-Solver++(2M): 2nd-order multistep ODE sampler (Lu et al., 2022).
@@ -423,6 +425,12 @@ def dpmpp_dynamics(rng,
 
     x0 is clipped to [-1, 1] like the ancestral/DDIM samplers (the data is
     min-max normalized; reference ``ebm_utils.py:371-372``).
+
+    Snapshot collection (``collect_steps``) and per-step metrics
+    (``collect_metrics``) are opt-in and default OFF: this is the low-step
+    production path, and the extra carry costs HBM. When enabled they
+    follow the DDIM contract (deterministic solver, so the noise-norm
+    metric row is zero).
     """
     infill_samples, infill_masks = _resolve_infill(init, infill_samples,
                                                    infill_masks)
@@ -481,7 +489,7 @@ def dpmpp_dynamics(rng,
                   h_prev / jnp.where(h_zero, 1.0, h))
 
     def step(carry, k):
-        state, prev_x0, rng = carry
+        state, prev_x0, rng, collection = carry
         rng, infill_rng = jax.random.split(rng)
         cond = alpha_cur[k] * jnp.ones(
             (state.shape[0], *([1] * (state.ndim - 1))), init.dtype)
@@ -515,13 +523,30 @@ def dpmpp_dynamics(rng,
              sigma_next[k] * infill_noise)
         y = jnp.where(k > 0, y, infill_samples)
         next_state = next_state * (1 - infill_masks) + y * infill_masks
-        return (next_state, x0, rng), ()
+        collection = _maybe_collect(collection, collection_idx,
+                                    num_steps - k, next_state)
+        if collect_metrics:
+            metrics = (_per_example_norm(eps),
+                       _per_example_norm(state - next_state), abar[k],
+                       jnp.zeros((), init.dtype))   # deterministic solver
+        else:
+            metrics = ()
+        return (next_state, x0, rng, collection), metrics
 
+    collect_steps = min(collect_steps, num_steps)
     start = init * (1 - infill_masks) + infill_samples * infill_masks
-    (state, _, _), _ = jax.lax.scan(
-        step, (start, jnp.zeros_like(start), rng),
+    collection = _init_collection(collect_steps, 0, start)
+    collection_idx = jnp.linspace(1, num_steps,
+                                  max(collect_steps, 1)).round().astype(
+                                      jnp.int32)
+    (state, _, _, collection), metrics = jax.lax.scan(
+        step, (start, jnp.zeros_like(start), rng, collection),
         jnp.arange(num_steps - 1, -1, -1))
-    return SamplerOutput(state, None, None)
+    if collect_metrics:
+        metrics = jnp.expand_dims(jnp.stack(metrics), axis=2)
+    else:
+        metrics = None
+    return SamplerOutput(state, collection, metrics)
 
 
 def distilled_ddim_dynamics(rng,

@@ -99,11 +99,16 @@ def sample(model_fn,
             infill_samples=infill_samples, infill_masks=infill_masks)
     elif sampling == "dpmpp":
         # 2nd-order solver: ddim_steps doubles as its budget (typically
-        # 10-25); no snapshot/metric collection on this path.
-        out = samplers.dpmpp_dynamics(ld_rng, model_fn, sigmas, init,
-                                      num_steps=ddim_steps,
-                                      infill_samples=infill_samples,
-                                      infill_masks=infill_masks)
+        # 10-25). Snapshots default OFF (production path) — callers opt in
+        # with an explicit collect_steps (the CLI does for --animate /
+        # --compute_metrics).
+        if collect_steps is None:
+            collect_steps = 0
+        out = samplers.dpmpp_dynamics(
+            ld_rng, model_fn, sigmas, init, num_steps=ddim_steps,
+            infill_samples=infill_samples, infill_masks=infill_masks,
+            collect_steps=collect_steps,
+            collect_metrics=collect_metrics and collect_steps > 0)
     else:
         if collect_steps is None:
             collect_steps = 100

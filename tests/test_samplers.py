@@ -304,3 +304,28 @@ def test_dpmpp_infill(rng):
     x = np.asarray(out.state)
     np.testing.assert_allclose(x[:, :4], 0.3, atol=1e-5)
     assert np.abs(x[:, 4:]).mean() < 0.05
+
+
+def test_dpmpp_collection_and_metrics(rng):
+    """Opt-in snapshot collection follows the DDIM contract: slot 0 is the
+    init, the last slot equals the final state, and without the opt-in the
+    sampler stays collection-free (the production default)."""
+    betas = schedules.noise_schedule(1e-6, 0.01, 500, "linear")
+    init = jax.random.normal(jax.random.PRNGKey(2), (8, 16, 4))
+    out = samplers.dpmpp_dynamics(rng, _zero_data_eps, betas, init,
+                                  num_steps=10, collect_steps=40,
+                                  collect_metrics=True)
+    coll = np.asarray(out.collection)
+    assert coll.shape == (11, 8, 16, 4)     # min(40, 10) snapshots + init
+    np.testing.assert_array_equal(coll[0], np.asarray(init))
+    np.testing.assert_allclose(coll[-1], np.asarray(out.state))
+    assert np.isfinite(coll).all()
+    m = np.asarray(out.metrics)
+    assert m.shape == (4, 10, 1)
+    assert (m[3] == 0).all()                # deterministic: no noise norm
+    # Same seed without the opt-in: identical final state, no collection.
+    out2 = samplers.dpmpp_dynamics(rng, _zero_data_eps, betas, init,
+                                   num_steps=10)
+    assert out2.collection is None and out2.metrics is None
+    np.testing.assert_array_equal(np.asarray(out2.state),
+                                  np.asarray(out.state))
