@@ -143,7 +143,8 @@ def main():
         params, opt_state, loss, acc = vae_chunk(
             params, opt_state, jnp.asarray(chunks[idx]), k)
         if step % 500 == 0:
-            print(f"vae step {step}: elbo {float(loss):.2f} "
+            # Loss/acc are measured AFTER this chunk's K steps.
+            print(f"vae step {step + K}: elbo {float(loss):.2f} "
                   f"recon acc {float(acc):.3f}", file=sys.stderr)
     results["vae"] = {"steps": 1500,
                       "teacher_forced_recon_acc": round(float(acc), 4)}
@@ -226,7 +227,8 @@ def finish(results, songs, codec, rng_np, t_start, shipped: bool):
         rng, k = jax.random.split(rng)
         state, m = step_fn(state, jnp.asarray(data[idx]), k)
         if step % 1000 == 0:
-            print(f"ddpm step {step}: loss {float(m['loss'][-1]):.4f}",
+            # Loss is measured AFTER this chunk's K steps.
+            print(f"ddpm step {step + K}: loss {float(m['loss'][-1]):.4f}",
                   file=sys.stderr)
     results["diffusion"] = {"steps": 3000,
                             "final_loss": round(float(m["loss"][-1]), 4)}

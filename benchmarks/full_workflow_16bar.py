@@ -62,6 +62,7 @@ def main():
     parser.add_argument("--steps", type=int, default=3000)
     parser.add_argument("--eval_n", type=int, default=128)
     args = parser.parse_args()
+    args.steps = max(args.steps, 1)   # the loop must run once
 
     import optax
     from smd_tpu.codec.musicvae import (MusicVAE, MusicVAEConfig, elbo_loss,
@@ -194,14 +195,15 @@ def main():
     step_fn = trainer.make_train_chunk(
         model, trainer.objective_by_name("ddpm"), betas, True)
     rng = jax.random.PRNGKey(2)
-    K = min(50, args.steps)
+    K = 50
     pool = jnp.asarray(data_n[rng_np.integers(0, len(data_n),
                                               (400, 64))])
-    n_slices = pool.shape[0] // K
     for i in range(0, args.steps, K):
+        k_i = min(K, args.steps - i)   # exact count; remainder recompiles
         rng, k = jax.random.split(rng)
-        off = ((i // K) % n_slices) * K
-        state, m = step_fn(state, pool[off:off + K], k)
+        # Device-side gather from the resident pool (arbitrary k_i).
+        sel = jnp.asarray(rng_np.integers(0, pool.shape[0], k_i))
+        state, m = step_fn(state, pool[sel], k)
     results["diffusion_train"] = {
         "steps": args.steps, "loss": round(float(m["loss"][-1]), 4),
         "seconds": round(time.time() - t0, 1)}

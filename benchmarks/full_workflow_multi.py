@@ -34,6 +34,7 @@ def main():
     parser.add_argument("--window", type=int, default=4)
     parser.add_argument("--eval_n", type=int, default=128)
     args = parser.parse_args()
+    args.steps = max(args.steps, 1)   # the loop must run once
 
     from scripts.make_multitrack_corpus import make_song
     from smd_tpu.codec import musicvae as mv
@@ -126,7 +127,8 @@ def main():
     rng = jax.random.PRNGKey(2)
     K = 50
     for i in range(0, args.steps, K):
-        idx = rng_np.integers(0, len(data_n), (K, 64))
+        k_i = min(K, args.steps - i)   # exact count; remainder recompiles
+        idx = rng_np.integers(0, len(data_n), (k_i, 64))
         rng, k = jax.random.split(rng)
         state, m = step_fn(state, jnp.asarray(data_n[idx]), k)
     results["diffusion_train"] = {

@@ -158,13 +158,11 @@ def main(argv):
     rng = jax.random.PRNGKey(FLAGS.sample_seed)
 
     t0 = time.time()
-    # dpmpp defaults to no snapshots (production path); opt in when the
-    # user asked for artifacts that need them. None = each sampler's
-    # default for the other algorithms.
+    # Snapshot policy lives in generate.sample: declare the intent
+    # (--animate / the per-snapshot metric sweep need intermediate
+    # snapshots) and let each sampler keep its own collection default.
     want_snaps = FLAGS.animate or (FLAGS.compute_metrics and
                                    not FLAGS.compute_final_only)
-    collect_steps = 40 if (FLAGS.sampling == "dpmpp" and want_snaps) \
-        else None
     if FLAGS.infill:
         samples, masks = generate.infill_edge_mask(real, FLAGS.problem)
         generated, collection, ld_metrics = generate.sample(
@@ -173,7 +171,7 @@ def main(argv):
             steps=FLAGS.ld_steps, denoise=FLAGS.denoise,
             infill_samples=samples, infill_masks=masks,
             ddim_steps=FLAGS.ddim_steps, ddim_eta=FLAGS.ddim_eta,
-            distill_grid=distill_grid, collect_steps=collect_steps)
+            distill_grid=distill_grid, ensure_snapshots=want_snaps)
     elif FLAGS.interpolate:
         generated, collection, ld_metrics = generate.interpolate(
             model_fn, sigmas, rng, real)
@@ -184,7 +182,7 @@ def main(argv):
             sampling=FLAGS.sampling, epsilon=FLAGS.ld_epsilon,
             steps=FLAGS.ld_steps, denoise=FLAGS.denoise,
             ddim_steps=FLAGS.ddim_steps, ddim_eta=FLAGS.ddim_eta,
-            distill_grid=distill_grid, collect_steps=collect_steps)
+            distill_grid=distill_grid, ensure_snapshots=want_snaps)
     logging.info("Generated samples in %f seconds", time.time() - t0)
 
     generated = np.asarray(generated)

@@ -77,6 +77,16 @@ def _maybe_collect(collection, collection_idx, image_idx, value):
     )
 
 
+def _collection_indices(total_steps, collect_steps):
+    """Evenly spaced 1-based step indices whose LAST entry is always the
+    final step (so ``collection[-1]`` is the finished sample even at
+    ``collect_steps == 1``; a plain ``linspace(1, total, 1)`` keeps only
+    the first, noisiest snapshot). Identical to ``linspace(1, total, c)``
+    for c >= 2."""
+    return jnp.linspace(total_steps, 1,
+                        max(collect_steps, 1))[::-1].round().astype(jnp.int32)
+
+
 def _init_collection(collect_steps, extra_slots, start):
     if collect_steps <= 0:
         return None
@@ -116,9 +126,7 @@ def annealed_langevin_dynamics(rng,
     collect_steps = min(collect_steps, num_sigmas * T)
     start = init * (1 - infill_masks) + infill_samples * infill_masks
     collection = _init_collection(collect_steps, int(denoise), start)
-    collection_idx = jnp.linspace(1, num_sigmas * T,
-                                  max(collect_steps, 1)).round().astype(
-                                      jnp.int32)
+    collection_idx = _collection_indices(num_sigmas * T, collect_steps)
 
     def langevin_step(carry, i):
         state, rng, sigma_i, alpha, collection = carry
@@ -188,9 +196,7 @@ def consistent_langevin_dynamics(rng,
     collect_steps = min(collect_steps, num_sigmas)
     start = init * (1 - infill_masks) + infill_samples * infill_masks
     collection = _init_collection(collect_steps, int(denoise), start)
-    collection_idx = jnp.linspace(1, num_sigmas,
-                                  max(collect_steps, 1)).round().astype(
-                                      jnp.int32)
+    collection_idx = _collection_indices(num_sigmas, collect_steps)
 
     beta = jnp.sqrt(1 - (1 - epsilon / (sigmas[-1]**2))**2)
 
@@ -261,9 +267,7 @@ def diffusion_dynamics(rng,
 
     start = init * (1 - infill_masks) + infill_samples * infill_masks
     collection = _init_collection(collect_steps, 0, start)
-    collection_idx = jnp.linspace(1, T,
-                                  max(collect_steps, 1)).round().astype(
-                                      jnp.int32)
+    collection_idx = _collection_indices(T, collect_steps)
 
     def sample_with_beta(carry, t):
         state, rng, collection = carry
@@ -350,9 +354,7 @@ def ddim_dynamics(rng,
     collect_steps = min(collect_steps, num_steps)
     start = init * (1 - infill_masks) + infill_samples * infill_masks
     collection = _init_collection(collect_steps, 0, start)
-    collection_idx = jnp.linspace(1, num_steps,
-                                  max(collect_steps, 1)).round().astype(
-                                      jnp.int32)
+    collection_idx = _collection_indices(num_steps, collect_steps)
 
     def step(carry, i):
         state, rng, collection = carry
@@ -536,9 +538,7 @@ def dpmpp_dynamics(rng,
     collect_steps = min(collect_steps, num_steps)
     start = init * (1 - infill_masks) + infill_samples * infill_masks
     collection = _init_collection(collect_steps, 0, start)
-    collection_idx = jnp.linspace(1, num_steps,
-                                  max(collect_steps, 1)).round().astype(
-                                      jnp.int32)
+    collection_idx = _collection_indices(num_steps, collect_steps)
     (state, _, _, collection), metrics = jax.lax.scan(
         step, (start, jnp.zeros_like(start), rng, collection),
         jnp.arange(num_steps - 1, -1, -1))

@@ -56,8 +56,14 @@ def sample(model_fn,
            collect_metrics: bool = True,
            ddim_steps: int = 50,
            ddim_eta: float = 0.0,
-           distill_grid=None):
+           distill_grid=None,
+           ensure_snapshots: bool = False):
     """Generate samples with the chosen dynamics.
+
+    ``ensure_snapshots=True`` declares the caller needs intermediate
+    snapshots (animation / per-snapshot metrics): samplers whose default
+    is collection-free (dpmpp) then opt into a DDIM-sized collection;
+    samplers that already collect keep their own defaults.
 
     Returns (generated, collection, ld_metrics) matching the reference's
     3-tuple contract for every algorithm (CAS fixed).
@@ -100,15 +106,14 @@ def sample(model_fn,
     elif sampling == "dpmpp":
         # 2nd-order solver: ddim_steps doubles as its budget (typically
         # 10-25). Snapshots default OFF (production path) — callers opt in
-        # with an explicit collect_steps (the CLI does for --animate /
-        # --compute_metrics).
+        # with an explicit collect_steps or by declaring the need via
+        # ensure_snapshots (the CLI does for --animate/--compute_metrics).
         if collect_steps is None:
-            collect_steps = 0
+            collect_steps = 40 if ensure_snapshots else 0
         out = samplers.dpmpp_dynamics(
             ld_rng, model_fn, sigmas, init, num_steps=ddim_steps,
             infill_samples=infill_samples, infill_masks=infill_masks,
-            collect_steps=collect_steps,
-            collect_metrics=collect_metrics and collect_steps > 0)
+            collect_steps=collect_steps, collect_metrics=collect_metrics)
     else:
         if collect_steps is None:
             collect_steps = 100

@@ -329,3 +329,16 @@ def test_dpmpp_collection_and_metrics(rng):
     assert out2.collection is None and out2.metrics is None
     np.testing.assert_array_equal(np.asarray(out2.state),
                                   np.asarray(out.state))
+
+
+def test_single_snapshot_slot_holds_final_state(rng):
+    """collect_steps=1 must keep the FINAL state (linspace(1, S, 1) kept
+    only the first, noisiest snapshot before _collection_indices)."""
+    betas = schedules.noise_schedule(1e-6, 0.01, 500, "linear")
+    init = jax.random.normal(jax.random.PRNGKey(2), (4, 8))
+    for fn, kw in [(samplers.ddim_dynamics, dict(num_steps=10)),
+                   (samplers.dpmpp_dynamics, dict(num_steps=10))]:
+        out = fn(rng, _zero_data_eps, betas, init, collect_steps=1, **kw)
+        coll = np.asarray(out.collection)
+        assert coll.shape[0] == 2   # init + the single snapshot
+        np.testing.assert_allclose(coll[-1], np.asarray(out.state))
