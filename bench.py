@@ -45,17 +45,25 @@ def main():
     # LN+attention kernel, int8 w8a8 head) as well as the fused FiLM head
     # are documented negative results at these shapes. Env toggles keep the
     # alternatives measurable: BENCH_FUSED_ATTN=1, BENCH_FUSED_HEAD=1.
+    quant = os.environ.get("BENCH_QUANT_HEAD", "0") == "1"
+    quant_kernel = os.environ.get("BENCH_QUANT_KERNEL", "0") == "1"
     model = get_model(
         "TransformerDDPM", num_layers=6, num_heads=8,
         num_mlp_layers=2, mlp_dims=2048,
         fused_attention=os.environ.get("BENCH_FUSED_ATTN", "0") == "1",
         fused_head=os.environ.get("BENCH_FUSED_HEAD", "0") == "1",
+        quantized_head=quant or quant_kernel,
+        quantized_head_kernel=quant_kernel,
         dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     x0 = jnp.ones((8, SEQ_LEN, CHANNELS), jnp.float32)
     t0 = jnp.full((8, 1, 1), 0.5, jnp.float32)
+    # init builds the serving layout directly (random weights time the same
+    # as calibrated ones; quality parity is flagship_e2e's job).
     params = model.init(rng, x0, t0)
-    params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params)
+    params = jax.tree_util.tree_map(
+        lambda p: p if p.dtype == jnp.int8 else p.astype(jnp.bfloat16),
+        params)
 
     betas = schedules.noise_schedule(1e-6, 0.01, T, "linear")
     consts = schedules.ddpm_constants(betas)

@@ -28,7 +28,12 @@ def main():
     parser.add_argument("--fused_attention", action="store_true")
     parser.add_argument("--fused_head", action="store_true")
     parser.add_argument("--quantized_head", action="store_true")
+    parser.add_argument("--quantized_head_kernel", action="store_true",
+                        help="fused Pallas w8a8 head (implies "
+                             "--quantized_head)")
     args = parser.parse_args()
+    if args.quantized_head_kernel:
+        args.quantized_head = True
 
     from smd_tpu.diffusion import samplers, schedules
     from smd_tpu.models import get_model
@@ -47,6 +52,7 @@ def main():
                       fused_attention=args.fused_attention,
                       fused_head=args.fused_head,
                       quantized_head=args.quantized_head,
+                      quantized_head_kernel=args.quantized_head_kernel,
                       dtype=jnp.bfloat16)
     if args.quantized_head:
         params = quantize_head_params(params)

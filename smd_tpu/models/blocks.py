@@ -176,10 +176,23 @@ class QuantDenseResBlock(nn.Module):
     output_size: int
     dtype: "jnp.dtype" = jnp.float32
     static_act: bool = True
+    use_kernel: bool = False   # fused Pallas w8a8 (ops/quant_matmul.py)
 
     @nn.compact
     def __call__(self, inputs, scale=1.0, shift=0.0):
-        from smd_tpu.ops.quant import int8_dense
+        import jax as _jax
+
+        from smd_tpu.ops.quant import int8_dense as _xla_int8
+
+        if self.use_kernel:
+            assert self.static_act, \
+                "the fused w8a8 kernel requires static activation scales"
+            from smd_tpu.ops.quant_matmul import w8a8_dense
+            interp = _jax.default_backend() != "tpu"
+            int8_dense = lambda x, wq, ws, b, s: w8a8_dense(
+                x, wq, ws, b, s, interpret=interp)
+        else:
+            int8_dense = _xla_int8
 
         K = inputs.shape[-1]
         N = self.output_size

@@ -192,6 +192,10 @@ class TransformerDDPM(nn.Module):
     fused_attention: bool = False
     fused_head: bool = False
     quantized_head: bool = False
+    # With quantized_head: route the two head matmuls through the fused
+    # Pallas w8a8 kernel (ops/quant_matmul.py) instead of the XLA int8
+    # path whose separate quant/dequant HBM passes measured net-zero.
+    quantized_head_kernel: bool = False
 
     @nn.compact
     def __call__(self, inputs, t):
@@ -209,11 +213,13 @@ class TransformerDDPM(nn.Module):
         x = nn.LayerNorm(dtype=self.dtype)(x)
         x = nn.Dense(self.mlp_dims, dtype=self.dtype)(x)
         assert not (self.fused_head and self.quantized_head)
+        import functools as _ft
         resblock_cls = DenseResBlock
         if self.fused_head:
             resblock_cls = FusedDenseResBlock
         elif self.quantized_head:
-            resblock_cls = QuantDenseResBlock
+            resblock_cls = _ft.partial(QuantDenseResBlock,
+                                       use_kernel=self.quantized_head_kernel)
         for _ in range(self.num_mlp_layers):
             scale, shift = DenseFiLM(embedding_channels=128,
                                      out_channels=self.mlp_dims,

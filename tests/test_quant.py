@@ -64,3 +64,48 @@ def test_quantized_head_model_matches_standard(rng):
     out_q = np.asarray(quantized.apply(q_cal, x, t))
     rel = np.abs(out_q - out_std).mean() / (np.abs(out_std).mean() + 1e-9)
     assert rel < 0.05, rel
+
+
+def test_w8a8_kernel_matches_xla_int8_dense(rng):
+    """The fused Pallas kernel (interpret mode) reproduces int8_dense:
+    identical quantization semantics, int32 accumulation, dequant + bias."""
+    from smd_tpu.ops import quant_matmul
+
+    np_rng = np.random.default_rng(3)
+    M, K, N = 320, 256, 384
+    x = jnp.asarray(np_rng.normal(size=(M, K)) * 0.5, jnp.float32)
+    w = jnp.asarray(np_rng.normal(size=(K, N)) * 0.05, jnp.float32)
+    b = jnp.asarray(np_rng.normal(size=(N,)), jnp.float32)
+    w_q, w_s = quant.quantize_weight(w)
+    a_s = float(jnp.max(jnp.abs(x))) / 127.0
+
+    assert quant_matmul.supported(M, K, N)
+    ref = np.asarray(quant.int8_dense(x, w_q, w_s, b, a_s))
+    out = np.asarray(quant_matmul.w8a8_dense(x, w_q, w_s, b, a_s,
+                                             interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-4)
+
+    # Lead-dim reshape path and the unsupported-shape fallback.
+    out3 = np.asarray(quant_matmul.w8a8_dense(
+        x.reshape(4, 80, K), w_q, w_s, b, a_s, interpret=True))
+    np.testing.assert_allclose(out3.reshape(M, N), out, rtol=1e-6)
+    assert not quant_matmul.supported(7, K, N)
+    fb = np.asarray(quant_matmul.w8a8_dense(x[:7], w_q, w_s, b, a_s,
+                                            interpret=True))
+    np.testing.assert_allclose(fb, ref[:7], rtol=1e-5, atol=1e-4)
+
+
+def test_quantized_head_kernel_model_matches_xla_path(rng):
+    """quantized_head_kernel=True (Pallas, interpret on CPU) is numerically
+    the XLA int8 path at model level: same params, same outputs."""
+    kwargs = dict(num_layers=1, num_heads=2, num_mlp_layers=2, mlp_dims=128)
+    std = get_model("TransformerDDPM", **kwargs)
+    q_xla = get_model("TransformerDDPM", quantized_head=True, **kwargs)
+    q_ker = get_model("TransformerDDPM", quantized_head=True,
+                      quantized_head_kernel=True, **kwargs)
+    x = jax.random.normal(rng, (4, 32, 6))   # M = 128: kernel-supported
+    t = jnp.full((4, 1, 1), 0.3)
+    params = quantize_head_params(std.init(jax.random.PRNGKey(0), x, t))
+    out_xla = np.asarray(q_xla.apply(params, x, t))
+    out_ker = np.asarray(q_ker.apply(params, x, t))
+    np.testing.assert_allclose(out_ker, out_xla, rtol=1e-4, atol=1e-4)
