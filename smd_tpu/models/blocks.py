@@ -188,7 +188,9 @@ class QuantDenseResBlock(nn.Module):
             assert self.static_act, \
                 "the fused w8a8 kernel requires static activation scales"
             from smd_tpu.ops.quant_matmul import w8a8_dense
-            interp = _jax.default_backend() != "tpu"
+            # axon (the tunneled TPU) must compile, not interpret — match
+            # the flash-attention routing (!= "cpu", attention.py:88).
+            interp = _jax.default_backend() == "cpu"
             int8_dense = lambda x, wq, ws, b, s: w8a8_dense(
                 x, wq, ws, b, s, interpret=interp)
         else:
