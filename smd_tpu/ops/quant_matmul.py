@@ -89,8 +89,8 @@ def _kernel(a_scale_ref, x_ref, w_ref, ws_ref, b_ref, o_ref, xq_ref):
     acc = jax.lax.dot_general(
         xq_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
-    scale = a_scale_ref[0] * ws_ref[...]
-    out = acc.astype(jnp.float32) * scale[None, :] + b_ref[...][None, :]
+    scale = a_scale_ref[0] * ws_ref[...]          # (1, bn)
+    out = acc.astype(jnp.float32) * scale + b_ref[...]
     o_ref[...] = out.astype(o_ref.dtype)
 
 
@@ -109,15 +109,18 @@ def _w8a8_2d(x, w_q, w_scale, a_scale, b, out_dtype, interpret):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((bm, K), lambda i, j: (i, 0)),
             pl.BlockSpec((K, bn), lambda i, j: (0, j)),
-            pl.BlockSpec((bn,), lambda i, j: (j,)),
-            pl.BlockSpec((bn,), lambda i, j: (j,)),
+            # row vectors as (1, bn) 2-D blocks: 1-D VMEM layouts are
+            # fragile in Mosaic; 2-D broadcasts cleanly against the tile.
+            pl.BlockSpec((1, bn), lambda i, j: (0, j)),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j)),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
         scratch_shapes=[pltpu.VMEM((bm, K), jnp.int8)],
         interpret=interpret,
-    )(a_scale, x, w_q, jnp.asarray(w_scale, jnp.float32),
-      jnp.asarray(b, jnp.float32))
+    )(a_scale, x, w_q,
+      jnp.asarray(w_scale, jnp.float32).reshape(1, N),
+      jnp.asarray(b, jnp.float32).reshape(1, N))
     return out
 
 
