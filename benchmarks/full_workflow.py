@@ -56,7 +56,11 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--codec", choices=("inline", "shipped"),
                         default="inline")
+    parser.add_argument("--vae_steps", type=int, default=1500)
+    parser.add_argument("--steps", type=int, default=3000)
     args = parser.parse_args()
+    args.vae_steps = max(args.vae_steps, 1)
+    args.steps = max(args.steps, 1)
 
     import optax
     from smd_tpu.codec.melody import melody_2bar_converter
@@ -95,7 +99,7 @@ def main():
             "enc_units": codec.config.enc_units,
             "dec_units": list(codec.config.dec_units)}
         return finish(results, songs, codec, rng_np, t_start,
-                      shipped=True)
+                      shipped=True, steps=args.steps)
     cfg = MusicVAEConfig(latent_dims=64, enc_units=256, dec_units=(256, 256),
                          depth=90, max_seq_len=32, free_bits=16.0, beta=0.2)
     vae = MusicVAE(cfg)
@@ -137,8 +141,9 @@ def main():
     n = len(chunks)
     acc = 0.0
     K = 50
-    for step in range(0, 1500, K):
-        idx = rng_np.integers(0, n, (K, 64))
+    for step in range(0, args.vae_steps, K):
+        k_i = min(K, args.vae_steps - step)
+        idx = rng_np.integers(0, n, (k_i, 64))
         rng, k = jax.random.split(rng)
         params, opt_state, loss, acc = vae_chunk(
             params, opt_state, jnp.asarray(chunks[idx]), k)
@@ -146,13 +151,15 @@ def main():
             # Loss/acc are measured AFTER this chunk's K steps.
             print(f"vae step {step + K}: elbo {float(loss):.2f} "
                   f"recon acc {float(acc):.3f}", file=sys.stderr)
-    results["vae"] = {"steps": 1500,
+    results["vae"] = {"steps": args.vae_steps,
                       "teacher_forced_recon_acc": round(float(acc), 4)}
     codec = TrainedMusicVAE(params=params, config=cfg)
-    return finish(results, songs, codec, rng_np, t_start, shipped=False)
+    return finish(results, songs, codec, rng_np, t_start, shipped=False,
+                  steps=args.steps)
 
 
-def finish(results, songs, codec, rng_np, t_start, shipped: bool):
+def finish(results, songs, codec, rng_np, t_start, shipped: bool,
+           steps: int = 3000):
     """Steps 3-6: encode -> diffusion -> sample -> decode -> score."""
     from smd_tpu.codec.melody import melody_2bar_converter
     from smd_tpu.codec.song import Song, encode_songs, embeddings_to_song
@@ -222,15 +229,16 @@ def finish(results, songs, codec, rng_np, t_start, shipped: bool):
         model, trainer.objective_by_name("ddpm"), betas, True)
     rng = jax.random.PRNGKey(2)
     K = 50
-    for step in range(0, 3000, K):
-        idx = rng_np.integers(0, len(data), (K, 64))
+    for step in range(0, steps, K):
+        k_i = min(K, steps - step)
+        idx = rng_np.integers(0, len(data), (k_i, 64))
         rng, k = jax.random.split(rng)
         state, m = step_fn(state, jnp.asarray(data[idx]), k)
         if step % 1000 == 0:
             # Loss is measured AFTER this chunk's K steps.
             print(f"ddpm step {step + K}: loss {float(m['loss'][-1]):.4f}",
                   file=sys.stderr)
-    results["diffusion"] = {"steps": 3000,
+    results["diffusion"] = {"steps": steps,
                             "final_loss": round(float(m["loss"][-1]), 4)}
 
     # ---- 5. sample + decode back to MIDI --------------------------------
