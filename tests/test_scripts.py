@@ -144,3 +144,20 @@ def test_generate_song_data_multi_mode(tmp_path, tmp_path_factory):
     recs = list(tf.data.TFRecordDataset(files).as_numpy_iterator())
     m = pickle.loads(recs[0])
     assert m.ndim == 3 and m.shape[0] == 3 and m.shape[2] == 512
+
+
+@pytest.mark.slow
+def test_full_workflow_benchmark_inline(tmp_path):
+    """The headline workflow benchmark runs end to end (tiny step budget):
+    corpus -> codec -> encode -> diffusion -> DDIM -> decode -> OA."""
+    import json
+
+    proc = _run(["benchmarks/full_workflow.py", "--codec=inline",
+                 "--vae_steps=40", "--steps=40"], timeout=540)
+    out = json.loads(proc.stdout)
+    assert out["vae"]["steps"] == 40
+    assert out["diffusion"]["steps"] == 40
+    assert np.isfinite(out["latent_fd"]["generated"])
+    # Even a 40-step model must beat unstructured noise on latent FD.
+    assert out["latent_fd"]["generated"] < out["latent_fd"]["random_baseline"]
+    assert out["perceptual_oa_vs_real"] is not None
