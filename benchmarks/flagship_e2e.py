@@ -134,6 +134,14 @@ def main():
     quant_fn = lambda x, c: quant_model.apply(
         q_params, x.astype(jnp.bfloat16),
         c.astype(jnp.bfloat16)).astype(jnp.float32)
+    quant_kernel_model = get_model("TransformerDDPM", num_layers=6,
+                                   num_heads=8, num_mlp_layers=2,
+                                   mlp_dims=2048, quantized_head=True,
+                                   quantized_head_kernel=True,
+                                   dtype=jnp.bfloat16)
+    quant_kernel_fn = lambda x, c: quant_kernel_model.apply(
+        q_params, x.astype(jnp.bfloat16),
+        c.astype(jnp.bfloat16)).astype(jnp.float32)
 
     results = {"train_steps": args.steps,
                "train_steps_per_sec": round(args.steps / train_time, 2),
@@ -195,6 +203,13 @@ def main():
         ("ancestral_T1000_int8head", lambda k, x: samplers.diffusion_dynamics(
             k, quant_fn, betas, x, collect_steps=0, collect_metrics=False,
             constants=consts).state),
+        # Same int8 params through the fused Pallas w8a8 kernel
+        # (ops/quant_matmul.py): validates the kernel's numerics survive
+        # Mosaic compilation on the real chip, not just interpret mode.
+        ("ancestral_T1000_int8kernel",
+         lambda k, x: samplers.diffusion_dynamics(
+             k, quant_kernel_fn, betas, x, collect_steps=0,
+             collect_metrics=False, constants=consts).state),
     ] + distilled_rows:
         f = jax.jit(fn)
         f(jax.random.PRNGKey(6), init).block_until_ready()  # compile
