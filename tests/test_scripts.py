@@ -161,3 +161,41 @@ def test_full_workflow_benchmark_inline(tmp_path):
     # Even a 40-step model must beat unstructured noise on latent FD.
     assert out["latent_fd"]["generated"] < out["latent_fd"]["random_baseline"]
     assert out["perceptual_oa_vs_real"] is not None
+
+
+@pytest.mark.slow
+def test_full_workflow_16bar_bundle_path(tmp_path, monkeypatch):
+    """The 16-bar hierdec workflow's shipped-bundle path runs end to end
+    (tiny codec bundle injected; exercises bundle load, hierdec encode,
+    SliceTransform recipe, chunked diffusion loop, decode and OA)."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    import benchmarks.full_workflow_16bar as wf
+    from smd_tpu.codec.musicvae import MusicVAE, MusicVAEConfig
+    from smd_tpu.utils import io as io_lib
+
+    cfg = MusicVAEConfig(latent_dims=32, enc_units=32, dec_units=(32, 32),
+                         depth=90, max_seq_len=256, hier_segments=16,
+                         conductor_units=32, conductor_layers=2)
+    model = MusicVAE(cfg)
+    rng = jax.random.PRNGKey(0)
+    params = model.init({"params": rng}, jnp.zeros((1, 256, 90)), rng)
+    ck = str(tmp_path / "m16.pkl")
+    io_lib.save({"params": params, "config": cfg,
+                 "metrics": {"eval_roundtrip_acc": 0.0}}, ck)
+    monkeypatch.setattr(wf, "CKPT", ck)
+    monkeypatch.setattr(
+        sys, "argv", ["wf16", "--songs", "6", "--steps", "30",
+                      "--eval_n", "8"])
+    import contextlib
+    import io as _io
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        wf.main()
+    out = json.loads(buf.getvalue())
+    assert out["codec"]["source"] == "shipped artifact"
+    assert out["diffusion_train"]["steps"] == 30
+    assert np.isfinite(out["latent_fd"]["generated"])
