@@ -21,9 +21,16 @@ from absl import app, flags, logging
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 FLAGS = flags.FLAGS
-flags.DEFINE_string("output_dir", None, "Directory for .mid files.")
-flags.DEFINE_integer("n_songs", 3000, "Number of songs to generate.")
-flags.DEFINE_integer("seed", 0, "PRNG seed.")
+
+
+def _define_flags():
+    # Deferred to __main__: the corpus generators share flag names
+    # (--output_dir/--n_songs/--seed), and importing several of them as
+    # libraries (tests, workflow benchmarks use ``make_song``) must not
+    # raise DuplicateFlagError.
+    flags.DEFINE_string("output_dir", None, "Directory for .mid files.")
+    flags.DEFINE_integer("n_songs", 3000, "Number of songs to generate.")
+    flags.DEFINE_integer("seed", 0, "PRNG seed.")
 
 SCALES = {
     "major": [0, 2, 4, 5, 7, 9, 11],
@@ -202,5 +209,6 @@ def main(argv):
 
 
 if __name__ == "__main__":
+    _define_flags()
     flags.mark_flag_as_required("output_dir")
     app.run(main)
