@@ -170,25 +170,38 @@ def main():
     results["decode_seconds"] = round(time.time() - t0, 1)
 
     # ---- 5. perceptual OA metrics ---------------------------------------
-    real_sample = [per_song_chunks[i] for i in
-                   rng_np.choice(len(songs), 32, replace=False)]
+    sel = rng_np.choice(len(songs), 64, replace=False)
+    real_sample = [per_song_chunks[i] for i in sel[:32]]
     real_ns = [conv.from_tensors([c])[0] for chunks in real_sample
                for c in chunks[:2]]
-    oas = []
-    for g in decoded_ns[:32]:
-        if not g.notes:
-            continue
-        sims = []
-        for r in real_ns[:32]:
-            try:
-                s = midi_metrics.perceptual_similarity(g, r)
-                sims.append(float(np.mean(list(s.values()))))
-            except Exception:
+    # Metric ceiling: DISJOINT held-out real chunks scored against the same
+    # reference set. Framewise OA between different 1-bar multitrack chunks
+    # is bounded far below 1 (heterogeneous instruments/densities; measured
+    # ~0.33 on this corpus even though the codec round-trips these chunks
+    # exactly), so generated OA must be read against this row, not
+    # against 1.0 or against the monophonic-melody workflow's scale.
+    held_ns = [conv.from_tensors([c])[0]
+               for i in sel[32:] for c in per_song_chunks[i][:1]]
+
+    def mean_oa(gen_list, ref_list):
+        oas = []
+        for g in gen_list:
+            if not g.notes:
                 continue
-        if sims:
-            oas.append(float(np.mean(sims)))
-    results["framewise_oa_vs_real"] = round(float(np.mean(oas)), 4) \
-        if oas else None
+            sims = []
+            for r in ref_list:
+                try:
+                    s = midi_metrics.perceptual_similarity(g, r)
+                    sims.append(float(np.mean(list(s.values()))))
+                except Exception:
+                    continue
+            if sims:
+                oas.append(float(np.mean(sims)))
+        return round(float(np.mean(oas)), 4) if oas else None
+
+    results["framewise_oa_vs_real"] = mean_oa(decoded_ns[:32], real_ns[:32])
+    results["framewise_oa_ceiling_real_vs_real"] = mean_oa(held_ns[:32],
+                                                           real_ns[:32])
     results["total_seconds"] = round(time.time() - t_all, 1)
     print(json.dumps(results, indent=2))
 
