@@ -30,7 +30,9 @@ from absl import app, flags, logging
 FLAGS = flags.FLAGS
 flags.DEFINE_string("input", None, "Glob of input MIDI files.")
 flags.DEFINE_string("output", "./output/encoded", "Output directory.")
-flags.DEFINE_enum("mode", "melody", ["melody", "multi"], "Encoding mode.")
+flags.DEFINE_enum("mode", "melody", ["melody", "melody16", "multi"],
+                  "Encoding mode (melody16: non-overlapping 16-bar chunks "
+                  "through the hierdec codec, reference config.py:41-48).")
 flags.DEFINE_integer("checkpoint_seed", 0,
                      "Seed for VAE weights when no checkpoint is given.")
 flags.DEFINE_string("vae_params", "",
@@ -68,10 +70,15 @@ def _parse_one(path):
         return path, [], "too long"
 
     songs_chunks = []
-    if FLAGS.mode == "melody":
+    if FLAGS.mode in ("melody", "melody16"):
+        if FLAGS.mode == "melody":
+            converter, stride = melody_2bar_converter, 2
+        else:
+            from smd_tpu.config import melody_16bar_converter
+            converter, stride = melody_16bar_converter, 16
         for melody in extract_melodies(ns):
-            out = melody_2bar_converter.to_tensors(melody)
-            chunk_tensors = out.inputs[::2]
+            out = converter.to_tensors(melody)
+            chunk_tensors = out.inputs[::stride]
             if chunk_tensors:
                 songs_chunks.append(chunk_tensors)
     else:
@@ -103,9 +110,10 @@ def main(argv):
                                    jax.default_backend() != "cpu") \
         else jnp.float32
     params = io_lib.load(FLAGS.vae_params) if FLAGS.vae_params else None
-    if FLAGS.mode == "multi":
+    if FLAGS.mode in ("multi", "melody16"):
         from smd_tpu.config import MUSIC_VAE_CONFIG
-        entry = MUSIC_VAE_CONFIG["multi-1-big"]
+        entry = MUSIC_VAE_CONFIG[
+            "multi-1-big" if FLAGS.mode == "multi" else "melody-16-big"]
         model = TrainedMusicVAE(params=params, config=entry.model,
                                 converter=entry.data_converter,
                                 seed=FLAGS.checkpoint_seed,

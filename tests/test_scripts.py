@@ -147,6 +147,30 @@ def test_generate_song_data_multi_mode(tmp_path, tmp_path_factory):
 
 
 @pytest.mark.slow
+def test_generate_song_data_melody16_mode(tmp_path, tmp_path_factory):
+    """melody16 mode encodes non-overlapping 16-bar chunks through the
+    hierdec codec (shipped artifact or seeded random weights)."""
+    from scripts.make_melody_corpus import make_song
+    from smd_tpu.codec import midi_io
+    d = tmp_path_factory.mktemp("mel16midi")
+    rng = np.random.default_rng(3)
+    for i in range(2):
+        midi_io.write_midi_file(make_song(rng, min_bars=20, max_bars=36),
+                                str(d / f"m{i}.mid"))
+
+    encoded = str(tmp_path / "enc_mel16")
+    _run(["scripts/generate_song_data.py", f"--input={d}/*.mid",
+          f"--output={encoded}", "--mode=melody16", "--eval_fraction=0.5",
+          "--workers=1", "--encode_batch=8"], timeout=500)
+    files = glob.glob(f"{encoded}/training_seqs.tfrecord-*")
+    assert files
+    import tensorflow as tf
+    recs = list(tf.data.TFRecordDataset(files).as_numpy_iterator())
+    m = pickle.loads(recs[0])
+    assert m.ndim == 3 and m.shape[0] == 3 and m.shape[2] == 512
+
+
+@pytest.mark.slow
 def test_full_workflow_benchmark_inline(tmp_path):
     """The headline workflow benchmark runs end to end (tiny step budget):
     corpus -> codec -> encode -> diffusion -> DDIM -> decode -> OA."""
