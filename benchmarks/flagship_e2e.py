@@ -50,6 +50,13 @@ def main():
                         "base-model grid at FD 242) beats 16 or 64 — "
                         "finer-h stages are harder to fit and errors "
                         "compound over more halvings.")
+    parser.add_argument("--consistency_steps", type=int, default=4000,
+                        help="Consistency-distillation optimizer steps "
+                        "(0 disables the consistency_1/2 rows). This is "
+                        "the 1-step path: progressive distillation "
+                        "measurably collapses at 1 step (FD 891).")
+    parser.add_argument("--consistency_segments", type=int, default=32,
+                        help="CM discretization N (training-grid segments).")
     parser.add_argument("--mdn_steps", type=int, default=3000,
                         help="TransformerMDN training steps for the MDN "
                         "quality row (0 disables it).")
@@ -59,7 +66,7 @@ def main():
     from smd_tpu.eval import metrics
     from smd_tpu.models import get_model
     from smd_tpu.training import diffusion as trainer
-    from smd_tpu.training import distill
+    from smd_tpu.training import consistency, distill
 
     rng_np = np.random.default_rng(1)
     model = get_model("TransformerDDPM", num_layers=6, num_heads=8,
@@ -186,6 +193,36 @@ def main():
                 (f"base_on_grid_{n}",
                  lambda k, x, g=grid: samplers.distilled_ddim_dynamics(
                      k, serve_fn, g, x, clip_x0=True).state))
+
+    # Consistency distillation: the 1-step path (trains f(z_t, t) -> x0 to
+    # be self-consistent along the teacher ODE; see training/consistency.py).
+    if args.consistency_steps > 0:
+        t0 = time.time()
+
+        def cd_batches():
+            i = 0
+            while True:
+                yield pool[i % 400]
+                i += 1
+
+        cd = consistency.consistency_distill(
+            model, params, betas, cd_batches(),
+            num_segments=args.consistency_segments,
+            steps=args.consistency_steps, learning_rate=1e-4, seed=4,
+            log_fn=lambda n, s, l: print(
+                f"cd step {s}: loss {l:.4f}", file=sys.stderr))
+        results["consistency_seconds"] = round(time.time() - t0, 1)
+        cd_bf16 = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(p, jnp.bfloat16), cd["params"])
+        cd_fn = lambda x, c: serve_model.apply(
+            cd_bf16, x.astype(jnp.bfloat16),
+            c.astype(jnp.bfloat16)).astype(jnp.float32)
+        cd_grid = jnp.asarray(cd["grid"])
+        for n in (1, 2, 4):
+            distilled_rows.append(
+                (f"consistency_{n}",
+                 lambda k, x, s=n: samplers.consistency_dynamics(
+                     k, cd_fn, cd_grid, x, num_steps=s).state))
 
     for name, fn in [
         ("ancestral_T1000", lambda k, x: samplers.diffusion_dynamics(

@@ -149,6 +149,24 @@ def main(argv):
         bundle = io_lib.load(bundle_path)
         params, distill_grid = bundle["params"], bundle["grid"]
         model_fn = cli.serving_model_fn(params)
+    elif FLAGS.sampling == "consistency":
+        # One bundle regardless of step count: --ddim_steps picks k at
+        # sampling time (1 = single-call generation), unlike 'distilled'
+        # where each step count is its own trained stage.
+        bundle_path = os.path.join(FLAGS.model_dir, "distilled",
+                                   "consistency.pkl")
+        if not os.path.exists(bundle_path):
+            raise FileNotFoundError(
+                f"No consistency bundle at {bundle_path} (train with "
+                "train_ncsn.py --distill --distill_mode=consistency)")
+        bundle = io_lib.load(bundle_path)
+        params, distill_grid = bundle["params"], bundle["grid"]
+        num_seg = len(distill_grid) - 1
+        if not 1 <= FLAGS.ddim_steps <= num_seg:
+            raise ValueError(
+                f"--ddim_steps={FLAGS.ddim_steps} outside [1, {num_seg}] "
+                f"for the {num_seg}-segment consistency bundle")
+        model_fn = cli.serving_model_fn(params)
     else:
         model, state = cli.restore_state_for_sampling(shape)
         params = state.sampling_params if FLAGS.ema else state.params

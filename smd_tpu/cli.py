@@ -105,10 +105,14 @@ def define_diffusion_flags():
                        "Step size for annealed Langevin dynamics.")
     # Sampling
     flags.DEFINE_enum("sampling", "ald",
-                      ["ald", "cas", "ddpm", "ddim", "dpmpp", "distilled"],
+                      ["ald", "cas", "ddpm", "ddim", "dpmpp", "distilled",
+                       "consistency"],
                       "Sampling algorithm to use. 'distilled' samples a "
                       "progressively distilled stage (train one with "
-                      "--distill); --ddim_steps selects the stage.")
+                      "--distill); --ddim_steps selects the stage. "
+                      "'consistency' samples a consistency-distilled model "
+                      "(--distill --distill_mode=consistency); --ddim_steps "
+                      "is the refinement step count (1 = single call).")
     # Progressive distillation (train_ncsn.py --distill; a capability the
     # reference lacks — its fastest sampler is the 1000-step chain).
     flags.DEFINE_boolean(
@@ -117,6 +121,18 @@ def define_diffusion_flags():
         "instead of training: stages halve from --distill_start_steps down "
         "to --distill_end_steps, each saved to "
         "<model_dir>/distilled/<steps>.pkl.")
+    flags.DEFINE_enum("distill_mode", "progressive",
+                      ["progressive", "consistency"],
+                      "Distillation objective: 'progressive' (Salimans & "
+                      "Ho halving ladder, bottoms out at 2 steps) or "
+                      "'consistency' (consistency distillation; the 1-step "
+                      "path — progressive 1-step students collapse, "
+                      "docs/DESIGN.md). Consistency saves ONE bundle to "
+                      "<model_dir>/distilled/consistency.pkl and trains "
+                      "for --distill_stage_steps total steps.")
+    flags.DEFINE_integer("consistency_segments", 32,
+                         "Consistency-distillation discretization N "
+                         "(training-grid segments).")
     flags.DEFINE_integer("distill_start_steps", 8,
                          "First (largest) distilled sampler step count. "
                          "Measured on the flagship: 8 (whose teacher is the "

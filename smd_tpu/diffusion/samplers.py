@@ -42,6 +42,7 @@ __all__ = [
     "ddim_dynamics",
     "dpmpp_dynamics",
     "distilled_ddim_dynamics",
+    "consistency_dynamics",
     "diffusion_stochastic_encoder",
     "collate_sampling_metrics",
 ]
@@ -599,6 +600,68 @@ def distilled_ddim_dynamics(rng,
 
     start = init * (1 - infill_masks) + infill_samples * infill_masks
     (state, _), _ = jax.lax.scan(step, (start, rng), jnp.arange(num_steps))
+    return SamplerOutput(state, None, None)
+
+
+def consistency_dynamics(rng,
+                         model_fn: ModelFn,
+                         grid,
+                         init,
+                         num_steps: int = 1,
+                         infill_samples=None,
+                         infill_masks=None,
+                         clip_x0: bool = True) -> SamplerOutput:
+    """1-to-k-step sampler for a consistency-distilled model.
+
+    ``grid`` is the ``(N+1,)`` alpha-bar segment-boundary array the student
+    was consistency-distilled on (``training.consistency.consistency_distill``
+    returns it). 1-step generation is a single consistency-function eval
+    f(init, grid[0]) -> x0; k-step refinement alternates f with forward
+    re-noising at lambda-spaced levels of the same grid (the CM paper's
+    multistep procedure, alg. 1), one ``lax.scan`` with one model call per
+    step.
+
+    A capability the reference lacks entirely (its fastest path is the
+    1000-step ancestral chain, ``ebm_utils.py:274-405``); progressive
+    distillation here bottoms out at 2 steps (1-step students collapse,
+    docs/DESIGN.md) — this is the 1-step path.
+    """
+    infill_samples, infill_masks = _resolve_infill(init, infill_samples,
+                                                   infill_masks)
+    grid = jnp.asarray(grid)
+    num_seg = grid.shape[0] - 1
+    if not 1 <= num_steps <= num_seg:
+        raise ValueError(f"num_steps={num_steps} outside [1, {num_seg}] "
+                         f"for a {num_seg}-segment consistency grid")
+    # Evaluation levels: grid[0] (the init marginal), then every N//k-th
+    # boundary — lambda-spaced because the grid itself is lambda-uniform.
+    levels = grid[jnp.arange(num_steps) * num_seg // num_steps]
+    alphas = jnp.sqrt(levels)
+    sigmas = jnp.sqrt(1.0 - levels)
+
+    def step(carry, j):
+        state, rng = carry
+        rng, noise_rng, infill_rng = jax.random.split(rng, 3)
+        # Re-noise the previous step's x0 to this step's level (no-op at
+        # j == 0 where ``state`` is already the init-level sample).
+        noise = jax.random.normal(noise_rng, state.shape, init.dtype)
+        z = jnp.where(j > 0, alphas[j] * state + sigmas[j] * noise, state)
+        # Infill: pin the masked region to forward-diffused fixed content
+        # at this level before evaluating f.
+        infill_noise = jax.random.normal(infill_rng, infill_samples.shape,
+                                         init.dtype)
+        y = alphas[j] * infill_samples + sigmas[j] * infill_noise
+        z = z * (1 - infill_masks) + y * infill_masks
+        cond = alphas[j] * jnp.ones(
+            (z.shape[0], *([1] * (z.ndim - 1))), init.dtype)
+        eps = model_fn(z, cond)
+        x0 = (z - sigmas[j] * eps) / alphas[j]
+        if clip_x0:
+            x0 = jnp.clip(x0, -1.0, 1.0)
+        return (x0, rng), ()
+
+    (state, _), _ = jax.lax.scan(step, (init, rng), jnp.arange(num_steps))
+    state = state * (1 - infill_masks) + infill_samples * infill_masks
     return SamplerOutput(state, None, None)
 
 

@@ -28,13 +28,14 @@ SAMPLERS = {
     "ddim": samplers.ddim_dynamics,
     "dpmpp": samplers.dpmpp_dynamics,
     "distilled": samplers.distilled_ddim_dynamics,
+    "consistency": samplers.consistency_dynamics,
 }
 
 
 def make_init(rng, num_samples, sample_shape, sampling: str):
     """Initial state: N(0,1) for DDPM/DDIM, U(-sqrt(12)/2, sqrt(12)/2)
     otherwise (both mean 0, var 1 — reference ``train_ncsn.py:538-546``)."""
-    if sampling in ("ddpm", "ddim", "dpmpp", "distilled"):
+    if sampling in ("ddpm", "ddim", "dpmpp", "distilled", "consistency"):
         return jax.random.normal(rng, (num_samples, *sample_shape))
     rho = float(np.sqrt(12) / 2)
     return jax.random.uniform(rng, (num_samples, *sample_shape), minval=-rho,
@@ -102,6 +103,16 @@ def sample(model_fn,
                              "distill_grid (see training.distill)")
         out = samplers.distilled_ddim_dynamics(
             ld_rng, model_fn, distill_grid, init,
+            infill_samples=infill_samples, infill_masks=infill_masks)
+    elif sampling == "consistency":
+        # 1-to-k-step consistency sampler: ``distill_grid`` is the segment
+        # boundary array saved with the consistency bundle; ddim_steps
+        # doubles as k (1 = single-call generation).
+        if distill_grid is None:
+            raise ValueError("sampling='consistency' needs the bundle's "
+                             "grid (see training.consistency)")
+        out = samplers.consistency_dynamics(
+            ld_rng, model_fn, distill_grid, init, num_steps=ddim_steps,
             infill_samples=infill_samples, infill_masks=infill_masks)
     elif sampling == "dpmpp":
         # 2nd-order solver: ddim_steps doubles as its budget (typically

@@ -159,6 +159,39 @@ def test_distill_and_sample_distilled_cli(trained_toy, tmp_path):
 
 
 @pytest.mark.slow
+def test_consistency_distill_and_sample_cli(trained_toy, tmp_path):
+    """--distill --distill_mode=consistency writes one bundle; sample_ncsn
+    --sampling=consistency serves it at any step count (the 1-step path)."""
+    model_dir = next(a.split("=", 1)[1] for a in trained_toy
+                     if a.startswith("--model_dir="))
+    _run(["train_ncsn.py"] + trained_toy + [
+        "--distill", "--distill_mode=consistency",
+        "--consistency_segments=8", "--distill_stage_steps=15",
+        "--noverbose",
+    ])
+    assert os.path.exists(os.path.join(model_dir, "distilled",
+                                       "consistency.pkl"))
+    for k in (1, 2):
+        sampling_dir = str(tmp_path / f"consistency{k}")
+        _run(["sample_ncsn.py"] + trained_toy + [
+            f"--sampling_dir={sampling_dir}", "--sample_size=16",
+            "--sampling=consistency", f"--ddim_steps={k}", "--flush",
+        ])
+        gen = pickle.load(
+            open(os.path.join(sampling_dir, "ncsn", "generated.pkl"), "rb"))
+        assert gen.shape == (16, 2) and np.isfinite(gen).all()
+    # A step count beyond the bundle's segment range fails loudly.
+    proc = subprocess.run(
+        [sys.executable, "sample_ncsn.py"] + trained_toy + [
+            f"--sampling_dir={tmp_path}", "--sample_size=8",
+            "--sampling=consistency", "--ddim_steps=50"],
+        cwd=REPO, env={**os.environ, "SMD_TPU_PLATFORM": "cpu"},
+        capture_output=True, text=True, timeout=420)
+    assert proc.returncode != 0
+    assert "outside [1, 8]" in proc.stderr
+
+
+@pytest.mark.slow
 def test_sample_ncsn_cli_infill(trained_toy, tmp_path):
     sampling_dir = str(tmp_path / "infill")
     _run(["sample_ncsn.py"] + trained_toy + [

@@ -105,7 +105,7 @@ def run_distillation(train_ds, eval_ds):
 
     import numpy as np
 
-    from smd_tpu.training import distill
+    from smd_tpu.training import consistency, distill
     from smd_tpu.utils import io as io_lib
 
     sample_batch = next(iter(eval_ds))
@@ -135,6 +135,26 @@ def run_distillation(train_ds, eval_ds):
         logging.info("distill stage %d-step | step %d | loss %.5f",
                      stage_steps, step, loss)
 
+    out_dir = os.path.join(FLAGS.model_dir, "distilled")
+    if FLAGS.distill_mode == "consistency":
+        # Consistency distillation: one stage, one bundle, sampled with
+        # --sampling=consistency --ddim_steps=k for ANY k in [1, N].
+        cd = consistency.consistency_distill(
+            model, params, betas, batches(),
+            num_segments=FLAGS.consistency_segments,
+            steps=FLAGS.distill_stage_steps,
+            learning_rate=FLAGS.distill_lr,
+            lam_max=FLAGS.distill_lam_max,
+            seed=FLAGS.seed,
+            log_fn=log_fn if FLAGS.verbose else None)
+        bundle = {"params": cd["params"],
+                  "grid": np.asarray(cd["grid"]),
+                  "num_segments": FLAGS.consistency_segments}
+        io_lib.save(bundle, os.path.join(out_dir, "consistency.pkl"))
+        logging.info("Saved consistency-distilled bundle to "
+                     "%s/consistency.pkl", out_dir)
+        return
+
     stages = distill.progressive_distill(
         model, params, betas, batches(),
         start_steps=FLAGS.distill_start_steps,
@@ -145,7 +165,6 @@ def run_distillation(train_ds, eval_ds):
         seed=FLAGS.seed,
         log_fn=log_fn if FLAGS.verbose else None)
 
-    out_dir = os.path.join(FLAGS.model_dir, "distilled")
     for num_steps, stage in stages.items():
         bundle = {"params": stage["params"],
                   "grid": np.asarray(stage["grid"]),
