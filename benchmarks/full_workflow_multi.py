@@ -170,7 +170,7 @@ def main():
     results["decode_seconds"] = round(time.time() - t0, 1)
 
     # ---- 5. perceptual OA metrics ---------------------------------------
-    sel = rng_np.choice(len(songs), 64, replace=False)
+    sel = rng_np.choice(len(songs), min(64, len(songs)), replace=False)
     real_sample = [per_song_chunks[i] for i in sel[:32]]
     real_ns = [conv.from_tensors([c])[0] for chunks in real_sample
                for c in chunks[:2]]
