@@ -7,7 +7,27 @@ ancestral sampler and 50-step DDIM, and reports Fréchet distances + wall
 times. This exercises the exact production path of the north-star benchmark
 with a *trained* model rather than random weights.
 
-Run: python benchmarks/flagship_e2e.py [--steps 2000]
+Optional sections (all measured on the same data/eval protocol):
+- progressive distillation rows (--distill_stage_steps)
+- consistency-distillation rows (--consistency_steps)
+- the third model family: TransformerMDN + KV-cached decode (--mdn_steps)
+- the score-matching family: DSM-trained TransformerDDPM sampled with
+  annealed Langevin dynamics and consistent annealed sampling (--dsm_steps)
+  — the reference's first-class NCSN path
+  (/root/reference/configs/ncsn-mel-1seq-512.cfg, utils/ebm_utils.py:95-271)
+  quality-proven at flagship scale.
+- conditional generation rows (--conditional_rows): infilling (fix first/
+  last 8 latents, regenerate middle 16 — the reference protocol at
+  sample_ncsn.py:405-424) and interpolation (stochastic encode + x_T
+  midpoint + decode — sample_ncsn.py:426-435), each against the spherical-
+  interpolation baseline the reference's audio script builds
+  (scripts/sample_audio.py:171-180).
+
+--seed offsets every training/sampling RNG stream (the data distribution
+and the real eval set stay fixed so FDs are comparable across seeds);
+multi-seed reruns give the error bars for the few-step claims.
+
+Run: python benchmarks/flagship_e2e.py [--steps 1500]
 """
 from __future__ import annotations
 
@@ -33,11 +53,41 @@ def make_data(n, rng):
     return (x / 12.0).astype(np.float32)                   # roughly [-1, 1]
 
 
+def slerp_batch(a, b, t):
+    """Spherical interpolation between latent batches a, b at scalar t
+    (the reference's baseline construction, sample_audio.py:171-180 /
+    song_utils.py:27-38), vectorized over the batch."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    na = np.linalg.norm(a, axis=-1, keepdims=True)
+    nb = np.linalg.norm(b, axis=-1, keepdims=True)
+    dot = np.sum(a * b, axis=-1, keepdims=True) / np.maximum(na * nb, 1e-12)
+    omega = np.arccos(np.clip(dot, -1.0, 1.0))
+    so = np.sin(omega)
+    lin = (1 - t) * a + t * b                       # fallback for omega ~ 0
+    sph = (np.sin((1 - t) * omega) / so) * a + (np.sin(t * omega) / so) * b
+    return np.where(so < 1e-6, lin, sph).astype(np.float32)
+
+
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--steps", type=int, default=2000)
+    parser.add_argument("--steps", type=int, default=1500)
     parser.add_argument("--batch", type=int, default=64)
     parser.add_argument("--eval_n", type=int, default=1000)
+    parser.add_argument("--T", type=int, default=1000,
+                        help="DDPM schedule length (reduce for CPU smoke "
+                        "runs; row names keep the T1000 label only at "
+                        "T=1000).")
+    parser.add_argument("--seed", type=int, default=0,
+                        help="Offsets every training/sampling RNG stream "
+                        "(data + real eval set stay fixed). Use 0/1/2... "
+                        "for multi-seed error bars.")
+    parser.add_argument("--scan_chunk", type=int, default=50,
+                        help="Optimizer steps fused per dispatch for the "
+                        "base and MDN training loops (the tunneled chip "
+                        "pays ~0.1-0.5 s per dispatch).")
+    parser.add_argument("--quant_rows", type=int, default=1,
+                        help="1 = include the int8 w8a8 head/kernel rows.")
     parser.add_argument("--distill_stage_steps", type=int, default=3000,
                         help="Optimizer steps per progressive-distillation "
                         "stage (0 disables the distilled rows).")
@@ -60,6 +110,30 @@ def main():
     parser.add_argument("--mdn_steps", type=int, default=3000,
                         help="TransformerMDN training steps for the MDN "
                         "quality row (0 disables it).")
+    parser.add_argument("--dsm_steps", type=int, default=0,
+                        help="DSM (score-matching) training steps for the "
+                        "NCSN-family rows (0 disables them).")
+    parser.add_argument("--dsm_sigmas", type=int, default=100,
+                        help="Geometric noise-level count L for DSM "
+                        "training (reference ncsn configs use 500 at "
+                        "data_shape=512; continuous-noise conditioning "
+                        "interpolates between levels either way).")
+    parser.add_argument("--dsm_sigma_begin", type=float, default=1.0,
+                        help="Largest sigma (data here is ~[-1,1]; the "
+                        "reference's 15 was for unnormalized latents).")
+    parser.add_argument("--ald_T", type=int, default=20,
+                        help="Langevin steps per sigma level (reference "
+                        "default 100; L*T model evals total).")
+    parser.add_argument("--ald_eps", type=float, default=2e-6,
+                        help="ALD step size (per-step SNR is "
+                        "sqrt(eps)/sigma_end, level-independent).")
+    parser.add_argument("--cas_sigmas", type=int, default=1000,
+                        help="Sigma-level count for the CAS row (one model "
+                        "eval per level).")
+    parser.add_argument("--cas_eps", type=float, default=2e-6)
+    parser.add_argument("--conditional_rows", type=int, default=0,
+                        help="1 = add infilling + interpolation quality "
+                        "rows (FD vs real, vs the slerp baseline).")
     args = parser.parse_args()
 
     from smd_tpu.diffusion import samplers, schedules
@@ -69,36 +143,48 @@ def main():
     from smd_tpu.training import consistency, distill
 
     rng_np = np.random.default_rng(1)
+    seed_off = args.seed * 1000
     model = get_model("TransformerDDPM", num_layers=6, num_heads=8,
                       num_mlp_layers=2, mlp_dims=2048)
-    betas = schedules.noise_schedule(1e-6, 0.01, 1000, "linear")
+    betas = schedules.noise_schedule(1e-6, 0.01, args.T, "linear")
     consts = schedules.ddpm_constants(betas)
     config = trainer.TrainConfig(loss="ddpm", learning_rate=1e-3,
                                  batch_size=args.batch, ema=True)
 
-    rng = jax.random.PRNGKey(0)
+    rng = jax.random.PRNGKey(seed_off)
     state = trainer.create_train_state(rng, model,
                                        (args.batch, 32, 42),
                                        (args.batch, 1, 1), config)
-    step_fn = trainer.make_train_step(model,
-                                      trainer.objective_by_name("ddpm"),
-                                      betas, True)
 
     # Device-resident batch pool: host-side data generation plus a
     # host->device transfer per step dominates wall time on a tunneled
     # accelerator; 400 pre-staged batches cycle on device instead.
     pool = jnp.asarray(np.stack(
         [make_data(args.batch, rng_np) for _ in range(400)]))
+
+    def train_model(state, objective_name, sched, steps, rng, tag):
+        """Scan-chunked training off the device-resident pool."""
+        chunk_fn = trainer.make_train_chunk(
+            model, trainer.objective_by_name(objective_name), sched, True)
+        done = 0
+        loss0 = lossN = None
+        while done < steps:
+            k = min(args.scan_chunk, steps - done)
+            idx = np.arange(done, done + k) % 400
+            rng, key = jax.random.split(rng)
+            state, ms = chunk_fn(state, pool[idx], key)
+            done += k
+            if loss0 is None:
+                loss0 = float(ms["loss"][min(20, k - 1)])
+            lossN = float(ms["loss"][-1])
+            if done % 500 < args.scan_chunk:
+                print(f"{tag} step {done}: loss {lossN:.4f}",
+                      file=sys.stderr)
+        return state, rng, loss0, lossN
+
     t0 = time.time()
-    loss0 = lossN = None
-    for i in range(args.steps):
-        rng, k = jax.random.split(rng)
-        state, m = step_fn(state, pool[i % 400], k)
-        if i == 20:
-            loss0 = float(m["loss"])
-        if i % 500 == 0:
-            print(f"step {i}: loss {float(m['loss']):.4f}", file=sys.stderr)
-    lossN = float(m["loss"])
+    state, rng, loss0, lossN = train_model(state, "ddpm", betas, args.steps,
+                                           rng, "ddpm")
     train_time = time.time() - t0
 
     params = state.sampling_params
@@ -119,40 +205,62 @@ def main():
         c.astype(jnp.bfloat16)).astype(jnp.float32)
 
     real = make_data(args.eval_n, np.random.default_rng(99))
-    init = jax.random.normal(jax.random.PRNGKey(5), (args.eval_n, 32, 42))
+    init = jax.random.normal(jax.random.PRNGKey(seed_off + 5),
+                             (args.eval_n, 32, 42))
+    fd_noise = metrics.frechet_distance(
+        real, np.random.default_rng(3).normal(size=real.shape))
 
-    # int8 w8a8 quantized head (opt-in serving mode): calibrate static
-    # activation scales on states spanning the noise schedule, then report
-    # its FD so quantization quality is validated end-to-end.
-    from smd_tpu.models.fuse import (calibrate_head_act_scales,
-                                     quantize_head_params)
-    quant_model = get_model("TransformerDDPM", num_layers=6, num_heads=8,
-                            num_mlp_layers=2, mlp_dims=2048,
-                            quantized_head=True, dtype=jnp.bfloat16)
-    q_params = quantize_head_params(params)
-    cal_x = jax.random.normal(jax.random.PRNGKey(11), (64, 32, 42))
-    cal = [(cal_x * (1.0 - a) + jnp.asarray(real[:64]) * a,
-            jnp.full((64, 1, 1), t))
-           for a, t in ((0.0, 0.99), (0.5, 0.5), (0.9, 0.1), (1.0, 0.02))]
-    q_params = calibrate_head_act_scales(quant_model, q_params, cal)
-    q_params = jax.tree_util.tree_map(
-        lambda p: p if p.dtype == jnp.int8 else jnp.asarray(p, jnp.bfloat16),
-        q_params)
-    quant_fn = lambda x, c: quant_model.apply(
-        q_params, x.astype(jnp.bfloat16),
-        c.astype(jnp.bfloat16)).astype(jnp.float32)
-    quant_kernel_model = get_model("TransformerDDPM", num_layers=6,
-                                   num_heads=8, num_mlp_layers=2,
-                                   mlp_dims=2048, quantized_head=True,
-                                   quantized_head_kernel=True,
-                                   dtype=jnp.bfloat16)
-    quant_kernel_fn = lambda x, c: quant_kernel_model.apply(
-        q_params, x.astype(jnp.bfloat16),
-        c.astype(jnp.bfloat16)).astype(jnp.float32)
-
-    results = {"train_steps": args.steps,
+    results = {"seed": args.seed,
+               "train_steps": args.steps,
                "train_steps_per_sec": round(args.steps / train_time, 2),
-               "loss_start": round(loss0, 4), "loss_end": round(lossN, 4)}
+               "loss_start": round(loss0, 4), "loss_end": round(lossN, 4),
+               "fd_random_baseline": round(fd_noise, 4)}
+
+    quant_rows = []
+    if args.quant_rows:
+        # int8 w8a8 quantized head (opt-in serving mode): calibrate static
+        # activation scales on states spanning the noise schedule, then
+        # report its FD so quantization quality is validated end-to-end.
+        from smd_tpu.models.fuse import (calibrate_head_act_scales,
+                                         quantize_head_params)
+        quant_model = get_model("TransformerDDPM", num_layers=6, num_heads=8,
+                                num_mlp_layers=2, mlp_dims=2048,
+                                quantized_head=True, dtype=jnp.bfloat16)
+        q_params = quantize_head_params(params)
+        n_cal = min(64, args.eval_n)
+        cal_x = jax.random.normal(jax.random.PRNGKey(11), (n_cal, 32, 42))
+        cal = [(cal_x * (1.0 - a) + jnp.asarray(real[:n_cal]) * a,
+                jnp.full((n_cal, 1, 1), t))
+               for a, t in ((0.0, 0.99), (0.5, 0.5), (0.9, 0.1), (1.0, 0.02))]
+        q_params = calibrate_head_act_scales(quant_model, q_params, cal)
+        q_params = jax.tree_util.tree_map(
+            lambda p: p if p.dtype == jnp.int8 else jnp.asarray(
+                p, jnp.bfloat16),
+            q_params)
+        quant_fn = lambda x, c: quant_model.apply(
+            q_params, x.astype(jnp.bfloat16),
+            c.astype(jnp.bfloat16)).astype(jnp.float32)
+        quant_kernel_model = get_model("TransformerDDPM", num_layers=6,
+                                       num_heads=8, num_mlp_layers=2,
+                                       mlp_dims=2048, quantized_head=True,
+                                       quantized_head_kernel=True,
+                                       dtype=jnp.bfloat16)
+        quant_kernel_fn = lambda x, c: quant_kernel_model.apply(
+            q_params, x.astype(jnp.bfloat16),
+            c.astype(jnp.bfloat16)).astype(jnp.float32)
+        quant_rows = [
+            ("ancestral_T1000_int8head",
+             lambda k, x: samplers.diffusion_dynamics(
+                 k, quant_fn, betas, x, collect_steps=0,
+                 collect_metrics=False, constants=consts).state),
+            # Same int8 params through the fused Pallas w8a8 kernel
+            # (ops/quant_matmul.py): validates the kernel's numerics survive
+            # Mosaic compilation on the real chip, not just interpret mode.
+            ("ancestral_T1000_int8kernel",
+             lambda k, x: samplers.diffusion_dynamics(
+                 k, quant_kernel_fn, betas, x, collect_steps=0,
+                 collect_metrics=False, constants=consts).state),
+        ]
 
     # Progressive distillation: halve 64 -> 2 sampler steps, then report
     # 4- and 2-step rows through the bf16 serving path (the VERDICT r2
@@ -171,7 +279,7 @@ def main():
             model, params, betas, batches(),
             start_steps=args.distill_start, end_steps=args.distill_end,
             steps_per_stage=args.distill_stage_steps, learning_rate=1e-4,
-            seed=2)
+            seed=seed_off + 2)
         results["distill_seconds"] = round(time.time() - t0, 1)
         row_steps = [n for n in (4, 2, 1) if n in stages]
         for n in row_steps:
@@ -208,7 +316,8 @@ def main():
         cd = consistency.consistency_distill(
             model, params, betas, cd_batches(),
             num_segments=args.consistency_segments,
-            steps=args.consistency_steps, learning_rate=1e-4, seed=4,
+            steps=args.consistency_steps, learning_rate=1e-4,
+            seed=seed_off + 4,
             log_fn=lambda n, s, l: print(
                 f"cd step {s}: loss {l:.4f}", file=sys.stderr))
         results["consistency_seconds"] = round(time.time() - t0, 1)
@@ -237,29 +346,142 @@ def main():
         ("ancestral_T1000_serving", lambda k, x: samplers.diffusion_dynamics(
             k, serve_fn, betas, x, collect_steps=0, collect_metrics=False,
             constants=consts).state),
-        ("ancestral_T1000_int8head", lambda k, x: samplers.diffusion_dynamics(
-            k, quant_fn, betas, x, collect_steps=0, collect_metrics=False,
-            constants=consts).state),
-        # Same int8 params through the fused Pallas w8a8 kernel
-        # (ops/quant_matmul.py): validates the kernel's numerics survive
-        # Mosaic compilation on the real chip, not just interpret mode.
-        ("ancestral_T1000_int8kernel",
-         lambda k, x: samplers.diffusion_dynamics(
-             k, quant_kernel_fn, betas, x, collect_steps=0,
-             collect_metrics=False, constants=consts).state),
-    ] + distilled_rows:
+    ] + quant_rows + distilled_rows:
         f = jax.jit(fn)
-        f(jax.random.PRNGKey(6), init).block_until_ready()  # compile
+        f(jax.random.PRNGKey(seed_off + 6), init).block_until_ready()
         t0 = time.time()
-        gen = f(jax.random.PRNGKey(7), init)
+        gen = f(jax.random.PRNGKey(seed_off + 7), init)
         gen.block_until_ready()
         dt = time.time() - t0
         fd = metrics.frechet_distance(real, np.asarray(gen))
-        fd_noise = metrics.frechet_distance(
-            real, np.random.default_rng(3).normal(size=real.shape))
-        results[name] = {"seconds": round(dt, 2),
-                         "fd": round(fd, 4),
-                         "fd_random_baseline": round(fd_noise, 4)}
+        results[name] = {"seconds": round(dt, 2), "fd": round(fd, 4)}
+
+    # Score-matching family (NCSN path): DSM-train a second flagship-size
+    # TransformerDDPM on the same distribution, sample with ALD and CAS.
+    if args.dsm_steps > 0:
+        sigmas = schedules.noise_schedule(args.dsm_sigma_begin, 1e-2,
+                                          args.dsm_sigmas, "geometric")
+        dsm_state = trainer.create_train_state(
+            jax.random.PRNGKey(seed_off + 40), model, (args.batch, 32, 42),
+            (args.batch, 1, 1),
+            trainer.TrainConfig(loss="dsm", learning_rate=1e-3,
+                                batch_size=args.batch, ema=True))
+        t0 = time.time()
+        dsm_state, rng, dsm_l0, dsm_lN = train_model(
+            dsm_state, "dsm", sigmas, args.dsm_steps,
+            jax.random.PRNGKey(seed_off + 41), "dsm")
+        results["dsm_train"] = {
+            "steps": args.dsm_steps, "sigmas": args.dsm_sigmas,
+            "sigma_begin": args.dsm_sigma_begin,
+            "loss_start": round(dsm_l0, 4), "loss_end": round(dsm_lN, 4),
+            "seconds": round(time.time() - t0, 1)}
+        dsm_params = dsm_state.sampling_params
+        dsm_fn = lambda x, s: model.apply(
+            dsm_params, x,
+            jnp.broadcast_to(jnp.asarray(s, jnp.float32).reshape(
+                *([1] * x.ndim)), (x.shape[0], *([1] * (x.ndim - 1)))))
+        # NCSN init convention: U(-sqrt(12)/2, sqrt(12)/2) (reference
+        # train_ncsn.py:544-547).
+        rho = float(np.sqrt(12) / 2)
+        init_u = jax.random.uniform(jax.random.PRNGKey(seed_off + 42),
+                                    (args.eval_n, 32, 42),
+                                    minval=-rho, maxval=rho)
+        cas_sigmas = schedules.noise_schedule(args.dsm_sigma_begin, 1e-2,
+                                              args.cas_sigmas, "geometric")
+        for name, fn in [
+            (f"ald_L{args.dsm_sigmas}_T{args.ald_T}",
+             lambda k, x: samplers.annealed_langevin_dynamics(
+                 k, dsm_fn, sigmas, x, epsilon=args.ald_eps, T=args.ald_T,
+                 denoise=True, collect_steps=0,
+                 collect_metrics=False).state),
+            (f"cas_L{args.cas_sigmas}",
+             lambda k, x: samplers.consistent_langevin_dynamics(
+                 k, dsm_fn, cas_sigmas, x, epsilon=args.cas_eps, T=1,
+                 denoise=True, collect_steps=0,
+                 collect_metrics=False).state),
+        ]:
+            f = jax.jit(fn)
+            f(jax.random.PRNGKey(seed_off + 43), init_u).block_until_ready()
+            t0 = time.time()
+            gen = f(jax.random.PRNGKey(seed_off + 44), init_u)
+            gen.block_until_ready()
+            dt = time.time() - t0
+            fd = metrics.frechet_distance(real, np.asarray(gen))
+            results[name] = {"seconds": round(dt, 2), "fd": round(fd, 4)}
+
+    # Conditional generation quality: infilling + interpolation, scored
+    # (VERDICT r3 item 5 — previously only mask-correctness-tested).
+    if args.conditional_rows:
+        cond_real = make_data(args.eval_n, np.random.default_rng(123))
+        # Context for all conditional FDs: two fully-real disjoint draws.
+        results["real_vs_real_fd"] = round(
+            metrics.frechet_distance(real, cond_real), 4)
+
+        # Infill: fix first/last 8 of 32 latents, regenerate the middle 16
+        # (reference protocol, sample_ncsn.py:405-424).
+        masks = np.zeros((args.eval_n, 32, 42), np.float32)
+        masks[:, :8] = 1.0
+        masks[:, 24:] = 1.0
+        fixed = jnp.asarray(cond_real * masks)
+        masks_j = jnp.asarray(masks)
+        for name, fn in [
+            ("infill_ancestral_T1000", lambda k, x: samplers.diffusion_dynamics(
+                k, serve_fn, betas, x, infill_samples=fixed,
+                infill_masks=masks_j, collect_steps=0,
+                collect_metrics=False, constants=consts).state),
+            ("infill_ddim_50", lambda k, x: samplers.ddim_dynamics(
+                k, serve_fn, betas, x, num_steps=50, infill_samples=fixed,
+                infill_masks=masks_j, constants=consts).state),
+        ]:
+            f = jax.jit(fn)
+            f(jax.random.PRNGKey(seed_off + 50), init).block_until_ready()
+            t0 = time.time()
+            gen = f(jax.random.PRNGKey(seed_off + 51), init)
+            gen.block_until_ready()
+            dt = time.time() - t0
+            fd = metrics.frechet_distance(real, np.asarray(gen))
+            results[name] = {"seconds": round(dt, 2), "fd": round(fd, 4)}
+        # Baseline the reference's audio script would build: slerp the
+        # middle 16 latents from the edge latents (7 -> 24).
+        slerp_fill = cond_real.copy()
+        for j, pos in enumerate(range(8, 24)):
+            tt = (j + 1) / 17.0
+            slerp_fill[:, pos] = slerp_batch(cond_real[:, 7],
+                                             cond_real[:, 24], tt)
+        results["infill_slerp_baseline"] = {
+            "fd": round(metrics.frechet_distance(real, slerp_fill), 4)}
+
+        # Interpolation: stochastic-encode two real endpoint batches to
+        # x_T, take the midpoint, decode (reference sample_ncsn.py:426-435
+        # uses linear interpolation in x_T; off-by-one encoder bug fixed).
+        ends = make_data(2 * args.eval_n, np.random.default_rng(124))
+        xa, xb = ends[:args.eval_n], ends[args.eval_n:]
+        za = samplers.diffusion_stochastic_encoder(
+            jax.random.PRNGKey(seed_off + 52), jnp.asarray(xa), betas)
+        zb = samplers.diffusion_stochastic_encoder(
+            jax.random.PRNGKey(seed_off + 53), jnp.asarray(xb), betas)
+        zmid = (za + zb) / 2.0
+        for name, fn in [
+            ("interp_ancestral_T1000",
+             lambda k, x: samplers.diffusion_dynamics(
+                 k, serve_fn, betas, x, collect_steps=0,
+                 collect_metrics=False, constants=consts).state),
+            ("interp_ddim_50", lambda k, x: samplers.ddim_dynamics(
+                k, serve_fn, betas, x, num_steps=50,
+                constants=consts).state),
+        ]:
+            f = jax.jit(fn)
+            f(jax.random.PRNGKey(seed_off + 54), zmid).block_until_ready()
+            t0 = time.time()
+            gen = f(jax.random.PRNGKey(seed_off + 55), zmid)
+            gen.block_until_ready()
+            dt = time.time() - t0
+            fd = metrics.frechet_distance(real, np.asarray(gen))
+            results[name] = {"seconds": round(dt, 2), "fd": round(fd, 4)}
+        # Latent-space slerp midpoint of the same endpoint pairs.
+        results["interp_slerp_baseline"] = {
+            "fd": round(metrics.frechet_distance(
+                real, slerp_batch(xa, xb, 0.5)), 4)}
 
     # Third model family, evaluated for QUALITY (VERDICT r2 item 6: the MDN
     # path previously had only throughput proof): train the TransformerMDN
@@ -276,18 +498,22 @@ def main():
                                          batch_size=args.batch, ema=False,
                                          lr_warmup=500)
         mdn_state = mdn_trainer.create_train_state(
-            jax.random.PRNGKey(21), mdn_model, (args.batch, 32, 42),
-            mdn_config)
-        mdn_step = mdn_trainer.make_train_step(mdn_model)
+            jax.random.PRNGKey(seed_off + 21), mdn_model,
+            (args.batch, 32, 42), mdn_config)
+        mdn_chunk = mdn_trainer.make_train_chunk(mdn_model)
         t0 = time.time()
-        for i in range(args.mdn_steps):
-            mdn_state, m = mdn_step(mdn_state, pool[i % 400])
-            if i % 500 == 0:
-                print(f"mdn step {i}: nll {float(m['loss']):.4f}",
+        done = 0
+        while done < args.mdn_steps:
+            k = min(args.scan_chunk, args.mdn_steps - done)
+            idx = np.arange(done, done + k) % 400
+            mdn_state, ms = mdn_chunk(mdn_state, pool[idx])
+            done += k
+            if done % 500 < args.scan_chunk:
+                print(f"mdn step {done}: nll {float(ms['loss'][-1]):.4f}",
                       file=sys.stderr)
         results["mdn_train"] = {
             "steps": args.mdn_steps,
-            "nll_end": round(float(m["loss"]), 4),
+            "nll_end": round(float(ms["loss"][-1]), 4),
             "seconds": round(time.time() - t0, 1)}
         # log_sigma_cap=0.0: serving-side guard against the NLL's unbounded
         # variance components (sigma up to ~e^6 on this flagship) that
@@ -295,17 +521,15 @@ def main():
         decode = jax.jit(lambda k: ar_decode_cached(
             k, mdn_model, mdn_state.params, args.eval_n, steps=32,
             channels=42, log_sigma_cap=0.0))
-        decode(jax.random.PRNGKey(30)).block_until_ready()
+        decode(jax.random.PRNGKey(seed_off + 30)).block_until_ready()
         t0 = time.time()
-        mdn_gen = decode(jax.random.PRNGKey(31))
+        mdn_gen = decode(jax.random.PRNGKey(seed_off + 31))
         mdn_gen.block_until_ready()
         dt = time.time() - t0
         results["mdn_cached_decode"] = {
             "seconds": round(dt, 2),
             "fd": round(metrics.frechet_distance(
-                real, np.asarray(mdn_gen)), 4),
-            "fd_random_baseline": round(metrics.frechet_distance(
-                real, np.random.default_rng(3).normal(size=real.shape)), 4)}
+                real, np.asarray(mdn_gen)), 4)}
     print(json.dumps(results, indent=2))
 
 

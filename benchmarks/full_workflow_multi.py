@@ -171,6 +171,13 @@ def main():
 
     # ---- 5. perceptual OA metrics ---------------------------------------
     sel = rng_np.choice(len(songs), min(64, len(songs)), replace=False)
+    if len(songs) <= 32:
+        # sel[32:] would be empty -> the OA ceiling row (the only scale the
+        # generated OA is interpretable against) silently becomes None.
+        print(f"WARNING: --songs={len(songs)} <= 32 leaves no held-out "
+              "songs for framewise_oa_ceiling_real_vs_real; the generated "
+              "OA row will be unreadable. Use --songs >= 64.",
+              file=sys.stderr)
     real_sample = [per_song_chunks[i] for i in sel[:32]]
     real_ns = [conv.from_tensors([c])[0] for chunks in real_sample
                for c in chunks[:2]]
