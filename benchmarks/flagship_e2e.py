@@ -107,6 +107,11 @@ def main():
                         "measurably collapses at 1 step (FD 891).")
     parser.add_argument("--consistency_segments", type=int, default=32,
                         help="CM discretization N (training-grid segments).")
+    parser.add_argument("--ct_steps", type=int, default=0,
+                        help="Teacher-free consistency-TRAINING (iCT) "
+                        "optimizer steps (0 disables the ct_1/2/4 rows); "
+                        "warm-started from the trained eps model, doubling "
+                        "segment curriculum 16->128.")
     parser.add_argument("--mdn_steps", type=int, default=3000,
                         help="TransformerMDN training steps for the MDN "
                         "quality row (0 disables it).")
@@ -332,6 +337,37 @@ def main():
                 (f"consistency_{n}",
                  lambda k, x, s=n: samplers.consistency_dynamics(
                      k, cd_fn, cd_grid, x, num_steps=s).state))
+
+    # Teacher-free consistency TRAINING (iCT): no teacher queries; the
+    # target is the student's own previous iterate at a shared-noise
+    # cleaner level (see training/consistency.py::consistency_train).
+    if args.ct_steps > 0:
+        t0 = time.time()
+
+        def ct_batches():
+            i = 0
+            while True:
+                yield pool[i % 400]
+                i += 1
+
+        ct = consistency.consistency_train(
+            model, params, betas, ct_batches(),
+            steps=args.ct_steps, learning_rate=1e-4,
+            seed=seed_off + 8,
+            log_fn=lambda n, s, l: print(
+                f"ct N={n} step {s}: loss {l:.4f}", file=sys.stderr))
+        results["ct_seconds"] = round(time.time() - t0, 1)
+        ct_bf16 = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(p, jnp.bfloat16), ct["params"])
+        ct_fn = lambda x, c: serve_model.apply(
+            ct_bf16, x.astype(jnp.bfloat16),
+            c.astype(jnp.bfloat16)).astype(jnp.float32)
+        ct_grid = jnp.asarray(ct["grid"])
+        for n in (1, 2, 4):
+            distilled_rows.append(
+                (f"ct_{n}",
+                 lambda k, x, s=n: samplers.consistency_dynamics(
+                     k, ct_fn, ct_grid, x, num_steps=s).state))
 
     for name, fn in [
         ("ancestral_T1000", lambda k, x: samplers.diffusion_dynamics(

@@ -132,6 +132,7 @@ def main(argv):
     shape = real[0].shape
 
     distill_grid = None
+    ddim_steps = FLAGS.ddim_steps
     if FLAGS.sampling == "distilled":
         # Distilled stages are standalone bundles written by
         # ``train_ncsn.py --distill``; --ddim_steps selects the stage.
@@ -150,9 +151,10 @@ def main(argv):
         params, distill_grid = bundle["params"], bundle["grid"]
         model_fn = cli.serving_model_fn(params)
     elif FLAGS.sampling == "consistency":
-        # One bundle regardless of step count: --ddim_steps picks k at
-        # sampling time (1 = single-call generation), unlike 'distilled'
-        # where each step count is its own trained stage.
+        # One bundle regardless of step count: --consistency_sampling_steps
+        # picks k at sampling time (1 = single-call generation), unlike
+        # 'distilled' where each step count is its own trained stage.
+        # (0 falls back to --ddim_steps for backward compatibility.)
         bundle_path = os.path.join(FLAGS.model_dir, "distilled",
                                    "consistency.pkl")
         if not os.path.exists(bundle_path):
@@ -162,9 +164,12 @@ def main(argv):
         bundle = io_lib.load(bundle_path)
         params, distill_grid = bundle["params"], bundle["grid"]
         num_seg = len(distill_grid) - 1
-        if not 1 <= FLAGS.ddim_steps <= num_seg:
+        ddim_steps = FLAGS.consistency_sampling_steps or FLAGS.ddim_steps
+        flag_name = ("consistency_sampling_steps"
+                     if FLAGS.consistency_sampling_steps else "ddim_steps")
+        if not 1 <= ddim_steps <= num_seg:
             raise ValueError(
-                f"--ddim_steps={FLAGS.ddim_steps} outside [1, {num_seg}] "
+                f"--{flag_name}={ddim_steps} outside [1, {num_seg}] "
                 f"for the {num_seg}-segment consistency bundle")
         model_fn = cli.serving_model_fn(params)
     else:
@@ -188,7 +193,7 @@ def main(argv):
             sampling=FLAGS.sampling, epsilon=FLAGS.ld_epsilon,
             steps=FLAGS.ld_steps, denoise=FLAGS.denoise,
             infill_samples=samples, infill_masks=masks,
-            ddim_steps=FLAGS.ddim_steps, ddim_eta=FLAGS.ddim_eta,
+            ddim_steps=ddim_steps, ddim_eta=FLAGS.ddim_eta,
             distill_grid=distill_grid, ensure_snapshots=want_snaps)
     elif FLAGS.interpolate:
         generated, collection, ld_metrics = generate.interpolate(
@@ -199,7 +204,7 @@ def main(argv):
             model_fn, sigmas, rng, shape, num_samples=len(real),
             sampling=FLAGS.sampling, epsilon=FLAGS.ld_epsilon,
             steps=FLAGS.ld_steps, denoise=FLAGS.denoise,
-            ddim_steps=FLAGS.ddim_steps, ddim_eta=FLAGS.ddim_eta,
+            ddim_steps=ddim_steps, ddim_eta=FLAGS.ddim_eta,
             distill_grid=distill_grid, ensure_snapshots=want_snaps)
     logging.info("Generated samples in %f seconds", time.time() - t0)
 

@@ -111,8 +111,9 @@ def define_diffusion_flags():
                       "progressively distilled stage (train one with "
                       "--distill); --ddim_steps selects the stage. "
                       "'consistency' samples a consistency-distilled model "
-                      "(--distill --distill_mode=consistency); --ddim_steps "
-                      "is the refinement step count (1 = single call).")
+                      "(--distill --distill_mode=consistency); "
+                      "--consistency_sampling_steps is the refinement step "
+                      "count (1 = single call).")
     # Progressive distillation (train_ncsn.py --distill; a capability the
     # reference lacks — its fastest sampler is the 1000-step chain).
     flags.DEFINE_boolean(
@@ -122,17 +123,25 @@ def define_diffusion_flags():
         "to --distill_end_steps, each saved to "
         "<model_dir>/distilled/<steps>.pkl.")
     flags.DEFINE_enum("distill_mode", "progressive",
-                      ["progressive", "consistency"],
+                      ["progressive", "consistency", "ct"],
                       "Distillation objective: 'progressive' (Salimans & "
-                      "Ho halving ladder, bottoms out at 2 steps) or "
+                      "Ho halving ladder, bottoms out at 2 steps), "
                       "'consistency' (consistency distillation; the 1-step "
                       "path — progressive 1-step students collapse, "
-                      "docs/DESIGN.md). Consistency saves ONE bundle to "
-                      "<model_dir>/distilled/consistency.pkl and trains "
+                      "docs/DESIGN.md), or 'ct' (teacher-free consistency "
+                      "training, iCT — no teacher queries; segment "
+                      "curriculum via --ct_seg_schedule). 'consistency' and "
+                      "'ct' save ONE bundle to "
+                      "<model_dir>/distilled/consistency.pkl and train "
                       "for --distill_stage_steps total steps.")
     flags.DEFINE_integer("consistency_segments", 32,
                          "Consistency-distillation discretization N "
                          "(training-grid segments).")
+    flags.DEFINE_string("ct_seg_schedule", "16,32,64,128",
+                        "Comma-separated discretization curriculum for "
+                        "--distill_mode=ct (iCT's doubling N schedule; "
+                        "--distill_stage_steps splits evenly across "
+                        "stages).")
     flags.DEFINE_integer("distill_start_steps", 8,
                          "First (largest) distilled sampler step count. "
                          "Measured on the flagship: 8 (whose teacher is the "
@@ -150,6 +159,10 @@ def define_diffusion_flags():
                        "end (see docs/DESIGN.md on DPM-Solver++ grids).")
     flags.DEFINE_integer("ddim_steps", 50,
                          "Number of strided steps for DDIM sampling.")
+    flags.DEFINE_integer("consistency_sampling_steps", 0,
+                         "Refinement step count for --sampling=consistency "
+                         "(1 = single-call generation). 0 falls back to "
+                         "--ddim_steps for backward compatibility.")
     flags.DEFINE_float("ddim_eta", 0.0,
                        "DDIM stochasticity (0 = deterministic ODE).")
     flags.DEFINE_boolean("ema", True, "Exponential moving average smoothing.")

@@ -55,9 +55,12 @@ from smd_tpu.training.state import TrainState
 __all__ = [
     "consistency_f",
     "consistency_distillation_loss",
+    "consistency_training_loss",
     "make_cd_step",
     "make_cd_scan",
+    "make_ct_scan",
     "consistency_distill",
+    "consistency_train",
 ]
 
 
@@ -119,6 +122,56 @@ def consistency_distillation_loss(batch, student_fn, target_fn, teacher_fn,
     return loss.mean()
 
 
+def consistency_training_loss(batch, student_fn, target_fn, grid, rng,
+                              huber_c: Optional[float] = None,
+                              clip_x0: bool = True,
+                              p_mean: float = -1.1, p_std: float = 2.0):
+    """One consistency-TRAINING step's loss (teacher-free CT).
+
+    Song & Dhariwal, "Improved Techniques for Training Consistency Models"
+    (iCT, 2023): instead of a teacher ODE step, the noisier and cleaner
+    points share the SAME Gaussian draw — ``z_n = a_n x + s_n eps`` and
+    ``z_{n+1} = a_{n+1} x + s_{n+1} eps`` — which is an unbiased estimate
+    of the probability-flow trajectory through ``z_n`` as the segment
+    width -> 0. The student's x0 prediction at the noisier level matches
+    the (stop-gradient) target network's at the cleaner level.
+
+    iCT ingredients kept: per-example pseudo-Huber, lognormal
+    noise-level sampling (``p_mean``/``p_std`` in log-EDM-sigma space,
+    discretized over the grid segments), and 1/(sigma_n - sigma_{n+1})
+    weighting. ``grid`` is a ``distill_grid`` boundary array (ascending
+    cleanliness); the segment curriculum lives in ``consistency_train``.
+    """
+    num_seg = grid.shape[0] - 1
+    idx_rng, eps_rng = jax.random.split(rng)
+    # EDM-equivalent sigma of each boundary (descending along the grid).
+    sig = jnp.sqrt((1.0 - grid) / grid)
+    log_sig = jnp.log(sig)
+    # Discretized lognormal over segments: p(i) = CDF mass between the
+    # segment's boundary log-sigmas.
+    cdf = jax.scipy.special.erf((log_sig - p_mean) / (jnp.sqrt(2.0) * p_std))
+    mass = jnp.maximum(cdf[:-1] - cdf[1:], 0.0) + 1e-12
+    i = jax.random.categorical(idx_rng, jnp.log(mass),
+                               shape=(batch.shape[0],))
+    abar_n = _bb(grid[i], batch)
+    abar_s = _bb(grid[i + 1], batch)
+
+    eps = jax.random.normal(eps_rng, batch.shape)
+    z_n = jnp.sqrt(abar_n) * batch + jnp.sqrt(1.0 - abar_n) * eps
+    z_s = jnp.sqrt(abar_s) * batch + jnp.sqrt(1.0 - abar_s) * eps
+
+    tgt = consistency_f(target_fn, z_s, abar_s, clip_x0=clip_x0)
+    tgt = jax.lax.stop_gradient(tgt)
+    pred = consistency_f(student_fn, z_n, abar_n, clip_x0=clip_x0)
+
+    d = (pred - tgt).reshape(batch.shape[0], -1)
+    dim = d.shape[-1]
+    c = 0.00054 * jnp.sqrt(float(dim)) if huber_c is None else huber_c
+    ph = jnp.sqrt(jnp.sum(jnp.square(d), axis=-1) + c * c) - c
+    lam = 1.0 / (sig[i] - sig[i + 1])
+    return (lam * ph).mean()
+
+
 def _cd_update(model, teacher_params, grid, mids, huber_c, clip_x0,
                state: TrainState, batch, rng):
     teacher_fn = lambda x, cond: model.apply(teacher_params, x, cond)
@@ -168,6 +221,111 @@ def make_cd_scan(model, teacher_params, grid, mids,
         return jax.lax.scan(body, state, (batches, keys))
 
     return cd_chunk
+
+
+def _ct_update(model, grid, huber_c, clip_x0, state: TrainState, batch, rng):
+    # theta^-: the EMA tree. With ema_mu=0 (iCT's choice) this is exactly
+    # the previous iterate, since apply_gradients refreshed it to the
+    # post-update params at the END of the last step.
+    target_fn = lambda x, cond: model.apply(state.ema_params, x, cond)
+
+    def loss_fn(params):
+        student_fn = lambda x, cond: model.apply(params, x, cond)
+        return consistency_training_loss(batch, student_fn, target_fn, grid,
+                                         rng, huber_c=huber_c,
+                                         clip_x0=clip_x0)
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    return state.apply_gradients(grads), loss
+
+
+def make_ct_scan(model, grid, huber_c: Optional[float] = None,
+                 clip_x0: bool = True):
+    """K consistency-training steps per dispatch (one donated jit program;
+    same dispatch-amortization rationale as ``make_cd_scan``)."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def ct_chunk(state: TrainState, batches, rng):
+        keys = jax.random.split(rng, batches.shape[0])
+
+        def body(state, xs):
+            batch, key = xs
+            new_state, loss = _ct_update(model, grid, huber_c, clip_x0,
+                                         state, batch, key)
+            return new_state, loss
+
+        return jax.lax.scan(body, state, (batches, keys))
+
+    return ct_chunk
+
+
+def consistency_train(model,
+                      params,
+                      betas,
+                      batches: Iterator,
+                      *,
+                      steps: int = 20000,
+                      learning_rate: float = 1e-4,
+                      warmup_steps: int = 500,
+                      lam_max: Optional[float] = 2.5,
+                      seg_schedule: tuple = (16, 32, 64, 128),
+                      ema_mu: float = 0.0,
+                      huber_c: Optional[float] = None,
+                      seed: int = 0,
+                      clip_x0: bool = True,
+                      scan_chunk: int = 50,
+                      log_fn: Optional[Callable] = None) -> Dict:
+    """Teacher-free consistency training (iCT) on top of a trained eps model.
+
+    The student initializes from ``params`` (the trained diffusion model —
+    CT from scratch needs 100k+ steps; warm-starting from the eps model the
+    reference trains anyway makes the budget practical) but NO teacher is
+    queried during training: the target is the student's own previous
+    iterate (``ema_mu=0``, iCT's recommendation — a slow EMA target biases
+    CT) under ``stop_gradient``, evaluated at the cleaner of two
+    shared-noise points.
+
+    ``seg_schedule`` is iCT's doubling discretization curriculum: training
+    runs ``steps`` split evenly across the stages, each stage on a
+    ``distill_grid(betas, N)``. Coarse early grids give strong learning
+    signal; fine late grids shrink the discretization bias. The returned
+    grid is the final (finest) stage's, which is what
+    ``samplers.consistency_dynamics`` refines over.
+
+    Returns ``{"params", "grid"}`` exactly like ``consistency_distill``, so
+    the bundle serves through the same ``--sampling=consistency`` path.
+    """
+    import optax
+
+    rng = jax.random.PRNGKey(seed)
+    schedule = optax.warmup_cosine_decay_schedule(
+        0.0, learning_rate, min(warmup_steps, max(steps // 10, 1)), steps,
+        end_value=learning_rate * 0.01)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(schedule))
+    state = TrainState.create(
+        jax.tree_util.tree_map(jnp.copy, params), tx, ema=True,
+        ema_mu=ema_mu)
+    per_stage = max(1, steps // len(seg_schedule))
+    done_total = 0
+    grid = None
+    for si, num_segments in enumerate(seg_schedule):
+        grid = distill_grid(betas, num_segments, lam_max)
+        chunk_fn = make_ct_scan(model, grid, huber_c=huber_c,
+                                clip_x0=clip_x0)
+        stage_steps = (steps - per_stage * (len(seg_schedule) - 1)
+                       if si == len(seg_schedule) - 1 else per_stage)
+        done = 0
+        while done < stage_steps:
+            k_steps = min(scan_chunk, stage_steps - done)
+            stack = jnp.stack([next(batches) for _ in range(k_steps)])
+            rng, k = jax.random.split(rng)
+            state, losses = chunk_fn(state, stack, k)
+            done += k_steps
+            done_total += k_steps
+            if log_fn is not None:
+                log_fn(num_segments, done_total - 1, float(losses[-1]))
+    ship = state.sampling_params if ema_mu > 0 else state.params
+    return {"params": ship, "grid": grid}
 
 
 def consistency_distill(model,

@@ -171,24 +171,55 @@ def test_consistency_distill_and_sample_cli(trained_toy, tmp_path):
     ])
     assert os.path.exists(os.path.join(model_dir, "distilled",
                                        "consistency.pkl"))
-    for k in (1, 2):
+    # k=1 uses the dedicated flag; k=2 exercises the --ddim_steps fallback
+    # kept for backward compatibility.
+    for k, step_flag in ((1, "--consistency_sampling_steps=1"),
+                         (2, "--ddim_steps=2")):
         sampling_dir = str(tmp_path / f"consistency{k}")
         _run(["sample_ncsn.py"] + trained_toy + [
             f"--sampling_dir={sampling_dir}", "--sample_size=16",
-            "--sampling=consistency", f"--ddim_steps={k}", "--flush",
+            "--sampling=consistency", step_flag, "--flush",
         ])
         gen = pickle.load(
             open(os.path.join(sampling_dir, "ncsn", "generated.pkl"), "rb"))
         assert gen.shape == (16, 2) and np.isfinite(gen).all()
-    # A step count beyond the bundle's segment range fails loudly.
+    # A step count beyond the bundle's segment range fails loudly, naming
+    # the flag that set it.
     proc = subprocess.run(
         [sys.executable, "sample_ncsn.py"] + trained_toy + [
             f"--sampling_dir={tmp_path}", "--sample_size=8",
-            "--sampling=consistency", "--ddim_steps=50"],
+            "--sampling=consistency", "--consistency_sampling_steps=50"],
         cwd=REPO, env={**os.environ, "SMD_TPU_PLATFORM": "cpu"},
         capture_output=True, text=True, timeout=420)
     assert proc.returncode != 0
-    assert "outside [1, 8]" in proc.stderr
+    assert "--consistency_sampling_steps=50 outside [1, 8]" in proc.stderr
+
+
+@pytest.mark.slow
+def test_ct_mode_cli(trained_toy, tmp_path):
+    """--distill --distill_mode=ct (teacher-free consistency training)
+    writes a consistency bundle served by the same --sampling=consistency
+    path; the bundle's grid is the curriculum's finest stage."""
+    model_dir = next(a.split("=", 1)[1] for a in trained_toy
+                     if a.startswith("--model_dir="))
+    _run(["train_ncsn.py"] + trained_toy + [
+        "--distill", "--distill_mode=ct", "--ct_seg_schedule=4,8",
+        "--distill_stage_steps=12", "--noverbose",
+    ])
+    bundle_path = os.path.join(model_dir, "distilled", "consistency.pkl")
+    assert os.path.exists(bundle_path)
+    bundle = pickle.load(open(bundle_path, "rb"))
+    assert bundle["num_segments"] == 8 and bundle["objective"] == "ct"
+    assert bundle["grid"].shape == (9,)
+    sampling_dir = str(tmp_path / "ct1")
+    _run(["sample_ncsn.py"] + trained_toy + [
+        f"--sampling_dir={sampling_dir}", "--sample_size=16",
+        "--sampling=consistency", "--consistency_sampling_steps=1",
+        "--flush",
+    ])
+    gen = pickle.load(
+        open(os.path.join(sampling_dir, "ncsn", "generated.pkl"), "rb"))
+    assert gen.shape == (16, 2) and np.isfinite(gen).all()
 
 
 @pytest.mark.slow

@@ -60,6 +60,92 @@ def test_cd_loss_zero_for_consistent_oracle():
     assert float(loss_wrong) > 1e-2
 
 
+def test_ct_loss_zero_for_consistent_oracle():
+    """Teacher-free CT loss: the oracle predicts x0 = 0 at every level, so
+    shared-noise adjacent points give identical predictions -> loss ~ 0; a
+    wrong student is clearly positive (scaled by the 1/(sig_n - sig_{n+1})
+    iCT weighting, so compare against a loose bound)."""
+    betas = _betas()
+    grid = distill.distill_grid(betas, 16)
+    batch = jnp.zeros((32, 4))
+    rng = jax.random.PRNGKey(0)
+    loss = consistency.consistency_training_loss(batch, _oracle, _oracle,
+                                                 grid, rng)
+    assert float(loss) < 1e-4
+
+    wrong = lambda z, cond: jnp.zeros_like(z)
+    loss_wrong = consistency.consistency_training_loss(batch, wrong, _oracle,
+                                                       grid, rng)
+    assert float(loss_wrong) > 1e-2
+
+
+def test_ct_lognormal_sampling_prefers_mid_sigmas():
+    """The discretized lognormal (p_mean=-1.1) must place most segment
+    draws away from the extreme ends of the grid: with a two-sided check
+    on a fine grid, neither the noisiest nor the cleanest quartile should
+    absorb the majority of draws."""
+    betas = _betas()
+    grid = distill.distill_grid(betas, 64)
+    # Recover the segment distribution by instrumenting the same math the
+    # loss uses.
+    sig = jnp.sqrt((1.0 - grid) / grid)
+    cdf = jax.scipy.special.erf((jnp.log(sig) + 1.1) / (jnp.sqrt(2.0) * 2.0))
+    mass = np.asarray(jnp.maximum(cdf[:-1] - cdf[1:], 0.0))
+    mass = mass / mass.sum()
+    assert mass[:16].sum() < 0.5 and mass[-16:].sum() < 0.5
+    assert mass[16:48].sum() > 0.3
+
+
+def test_consistency_train_toy_one_step(tmp_path):
+    """End to end teacher-free CT on the 2-D toy mixture: 1-step sampling
+    from a CT-refined model must land close to the data distribution."""
+    from smd_tpu.data import synthetic
+    from smd_tpu.eval import metrics
+    from smd_tpu.models import get_model
+    from smd_tpu.training import diffusion as trainer
+
+    lo, hi = -9.0, 9.0
+    betas = schedules.noise_schedule(1e-6, 0.01, 200, "linear")
+    model = get_model("ToyDDPM", num_layers=3, mlp_dims=128)
+
+    def batches(n, batch, seed):
+        def gen():
+            rng = np.random.default_rng(seed)
+            for _ in range(n):
+                x = synthetic.toy_distribution(batch, rng)
+                yield ((x - lo) / (hi - lo) * 2 - 1).astype(np.float32)
+        return gen
+
+    config = trainer.TrainConfig(loss="ddpm", learning_rate=1e-3,
+                                 batch_size=256, epochs=1, max_steps=1500,
+                                 snapshot_freq=10000, logging_freq=1000,
+                                 ema=True, verbose=False, save_ckpt=False)
+    state = trainer.fit(model, betas, batches(1500, 256, 0),
+                        batches(2, 256, 1), input_shape=(2,), config=config,
+                        model_dir=str(tmp_path / "toy"))
+    params = state.sampling_params
+
+    def infinite():
+        rng = np.random.default_rng(7)
+        while True:
+            x = synthetic.toy_distribution(256, rng)
+            yield ((x - lo) / (hi - lo) * 2 - 1).astype(np.float32)
+
+    out = consistency.consistency_train(
+        model, params, betas, infinite(), steps=1200,
+        seg_schedule=(8, 16, 32), learning_rate=2e-4, seed=3)
+    assert out["grid"].shape[0] == 33  # final (finest) stage's grid ships
+
+    real = synthetic.toy_distribution(2000, np.random.default_rng(9))
+    init = jax.random.normal(jax.random.PRNGKey(42), (2000, 2))
+    ct_fn = lambda x, c: model.apply(out["params"], x, c)
+    gen = np.asarray(samplers.consistency_dynamics(
+        jax.random.PRNGKey(11), ct_fn, out["grid"], init, num_steps=1).state)
+    gen = (gen + 1) / 2 * (hi - lo) + lo
+    fd1 = metrics.frechet_distance(real, gen)
+    assert fd1 < 6.0, f"1-step CT FD: {fd1:.2f}"
+
+
 def test_consistency_sampler_oracle_contracts_to_zero():
     betas = _betas()
     out = consistency.consistency_distill  # noqa: silence unused-import lint

@@ -136,23 +136,40 @@ def run_distillation(train_ds, eval_ds):
                      stage_steps, step, loss)
 
     out_dir = os.path.join(FLAGS.model_dir, "distilled")
-    if FLAGS.distill_mode == "consistency":
-        # Consistency distillation: one stage, one bundle, sampled with
-        # --sampling=consistency --ddim_steps=k for ANY k in [1, N].
-        cd = consistency.consistency_distill(
-            model, params, betas, batches(),
-            num_segments=FLAGS.consistency_segments,
-            steps=FLAGS.distill_stage_steps,
-            learning_rate=FLAGS.distill_lr,
-            lam_max=FLAGS.distill_lam_max,
-            seed=FLAGS.seed,
-            log_fn=log_fn if FLAGS.verbose else None)
+    if FLAGS.distill_mode in ("consistency", "ct"):
+        # Consistency distillation ('consistency') or teacher-free
+        # consistency training ('ct', iCT): one stage, one bundle, sampled
+        # with --sampling=consistency --consistency_sampling_steps=k for
+        # ANY k in [1, N].
+        if FLAGS.distill_mode == "ct":
+            seg_schedule = tuple(
+                int(s) for s in FLAGS.ct_seg_schedule.split(","))
+            cd = consistency.consistency_train(
+                model, params, betas, batches(),
+                steps=FLAGS.distill_stage_steps,
+                seg_schedule=seg_schedule,
+                learning_rate=FLAGS.distill_lr,
+                lam_max=FLAGS.distill_lam_max,
+                seed=FLAGS.seed,
+                log_fn=log_fn if FLAGS.verbose else None)
+            num_segments = seg_schedule[-1]
+        else:
+            cd = consistency.consistency_distill(
+                model, params, betas, batches(),
+                num_segments=FLAGS.consistency_segments,
+                steps=FLAGS.distill_stage_steps,
+                learning_rate=FLAGS.distill_lr,
+                lam_max=FLAGS.distill_lam_max,
+                seed=FLAGS.seed,
+                log_fn=log_fn if FLAGS.verbose else None)
+            num_segments = FLAGS.consistency_segments
         bundle = {"params": cd["params"],
                   "grid": np.asarray(cd["grid"]),
-                  "num_segments": FLAGS.consistency_segments}
+                  "num_segments": num_segments,
+                  "objective": FLAGS.distill_mode}
         io_lib.save(bundle, os.path.join(out_dir, "consistency.pkl"))
-        logging.info("Saved consistency-distilled bundle to "
-                     "%s/consistency.pkl", out_dir)
+        logging.info("Saved %s bundle to %s/consistency.pkl",
+                     FLAGS.distill_mode, out_dir)
         return
 
     stages = distill.progressive_distill(
