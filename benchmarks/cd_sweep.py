@@ -91,6 +91,20 @@ def main():
         "seg16_4k": dict(num_segments=16, steps=4000, ema_mu=0.95),
         # finer discretization with the budget to exploit it
         "seg64_12k": dict(num_segments=64, steps=12000, ema_mu=0.95),
+        # round 2: N=16 more than halved 1-step FD vs N=32 — push coarser
+        "seg8_4k": dict(num_segments=8, steps=4000, ema_mu=0.95),
+        "seg8_12k": dict(num_segments=8, steps=12000, ema_mu=0.95),
+        "seg16_12k": dict(num_segments=16, steps=12000, ema_mu=0.95),
+        "seg4_12k": dict(num_segments=4, steps=12000, ema_mu=0.95),
+        # teacher-free consistency training (method='ct'): curriculum vs
+        # fixed-N variants, same eval protocol
+        "ct_8_16_32_12k": dict(method="ct", steps=12000,
+                               seg_schedule=(8, 16, 32)),
+        "ct_16_12k": dict(method="ct", steps=12000, seg_schedule=(16,)),
+        "ct_8_12k": dict(method="ct", steps=12000, seg_schedule=(8,)),
+        "ct_8_16_12k": dict(method="ct", steps=12000, seg_schedule=(8, 16)),
+        "ct_full_curr_24k": dict(method="ct", steps=24000,
+                                 seg_schedule=(16, 32, 64, 128)),
     }
     only = [s for s in args.configs.split(",") if s]
     results = {}
@@ -98,13 +112,21 @@ def main():
         if only and name not in only:
             continue
         kw = dict(kw, steps=max(2, int(kw["steps"] * args.cd_scale)))
+        method = kw.pop("method", "cd")
         t0 = time.time()
-        cd = consistency.consistency_distill(
-            model, params, betas, batches(), learning_rate=1e-4,
-            seed=4, log_fn=(lambda n, s, l: print(
-                f"  {name} step {s}: loss {l:.4f}", file=sys.stderr)
-                if True else None), **kw)
-        row = {"seconds": round(time.time() - t0, 1), **kw}
+        log_fn = lambda n, s, l: print(
+            f"  {name} N={n} step {s}: loss {l:.4f}", file=sys.stderr)
+        if method == "ct":
+            cd = consistency.consistency_train(
+                model, params, betas, batches(), learning_rate=1e-4,
+                seed=4, log_fn=log_fn, **kw)
+        else:
+            cd = consistency.consistency_distill(
+                model, params, betas, batches(), learning_rate=1e-4,
+                seed=4, log_fn=log_fn, **kw)
+        row = {"seconds": round(time.time() - t0, 1), "method": method,
+               **{k: (list(v) if isinstance(v, tuple) else v)
+                  for k, v in kw.items()}}
         cd_bf16 = jax.tree_util.tree_map(
             lambda p: jnp.asarray(p, jnp.bfloat16), cd["params"])
         cd_fn = lambda x, c: serve_model.apply(

@@ -100,18 +100,31 @@ def main():
                         "base-model grid at FD 242) beats 16 or 64 — "
                         "finer-h stages are harder to fit and errors "
                         "compound over more halvings.")
-    parser.add_argument("--consistency_steps", type=int, default=4000,
+    parser.add_argument("--consistency_steps", type=int, default=12000,
                         help="Consistency-distillation optimizer steps "
-                        "(0 disables the consistency_1/2 rows). This is "
+                        "(0 disables the consistency_1/2/4 rows). This is "
                         "the 1-step path: progressive distillation "
-                        "measurably collapses at 1 step (FD 891).")
-    parser.add_argument("--consistency_segments", type=int, default=32,
-                        help="CM discretization N (training-grid segments).")
+                        "measurably collapses at 1 step (FD 891). 12000: "
+                        "cd_sweep measured 4k->12k worth 40-90 FD at "
+                        "every step count.")
+    parser.add_argument("--consistency_segments", type=int, default=16,
+                        help="CM discretization N (training-grid segments). "
+                        "Default 16: the benchmarks/cd_sweep.py winner for "
+                        "2/4-step quality (N=32 was the round-4-run-1 "
+                        "recipe; coarser N measured strictly better).")
+    parser.add_argument("--consistency_segments_alt", type=int, default=0,
+                        help="If >0, train a SECOND consistency bundle at "
+                        "this N and add consistency_alt_1/2/4 rows (e.g. 8 "
+                        "= the cd_sweep 1-step-FD winner).")
     parser.add_argument("--ct_steps", type=int, default=0,
                         help="Teacher-free consistency-TRAINING (iCT) "
                         "optimizer steps (0 disables the ct_1/2/4 rows); "
-                        "warm-started from the trained eps model, doubling "
-                        "segment curriculum 16->128.")
+                        "warm-started from the trained eps model.")
+    parser.add_argument("--ct_seg_schedule", type=str, default="16",
+                        help="Comma-separated CT discretization curriculum. "
+                        "Default '16': cd_sweep measured the single-stage "
+                        "N=16 run beating both the iCT doubling curricula "
+                        "and every CD recipe at 1/2/4 steps.")
     parser.add_argument("--mdn_steps", type=int, default=3000,
                         help="TransformerMDN training steps for the MDN "
                         "quality row (0 disables it).")
@@ -214,12 +227,18 @@ def main():
                              (args.eval_n, 32, 42))
     fd_noise = metrics.frechet_distance(
         real, np.random.default_rng(3).normal(size=real.shape))
+    # FD noise floor: two fully-real disjoint draws of the same size. Any
+    # sampler row within a few×10 of this is statistically at the data
+    # distribution for this metric/sample-count.
+    cond_real = make_data(args.eval_n, np.random.default_rng(123))
+    fd_floor = metrics.frechet_distance(real, cond_real)
 
     results = {"seed": args.seed,
                "train_steps": args.steps,
                "train_steps_per_sec": round(args.steps / train_time, 2),
                "loss_start": round(loss0, 4), "loss_end": round(lossN, 4),
-               "fd_random_baseline": round(fd_noise, 4)}
+               "fd_random_baseline": round(fd_noise, 4),
+               "real_vs_real_fd": round(fd_floor, 4)}
 
     quant_rows = []
     if args.quant_rows:
@@ -310,33 +329,41 @@ def main():
     # Consistency distillation: the 1-step path (trains f(z_t, t) -> x0 to
     # be self-consistent along the teacher ODE; see training/consistency.py).
     if args.consistency_steps > 0:
-        t0 = time.time()
-
         def cd_batches():
             i = 0
             while True:
                 yield pool[i % 400]
                 i += 1
 
-        cd = consistency.consistency_distill(
-            model, params, betas, cd_batches(),
-            num_segments=args.consistency_segments,
-            steps=args.consistency_steps, learning_rate=1e-4,
-            seed=seed_off + 4,
-            log_fn=lambda n, s, l: print(
-                f"cd step {s}: loss {l:.4f}", file=sys.stderr))
-        results["consistency_seconds"] = round(time.time() - t0, 1)
-        cd_bf16 = jax.tree_util.tree_map(
-            lambda p: jnp.asarray(p, jnp.bfloat16), cd["params"])
-        cd_fn = lambda x, c: serve_model.apply(
-            cd_bf16, x.astype(jnp.bfloat16),
-            c.astype(jnp.bfloat16)).astype(jnp.float32)
-        cd_grid = jnp.asarray(cd["grid"])
-        for n in (1, 2, 4):
-            distilled_rows.append(
-                (f"consistency_{n}",
-                 lambda k, x, s=n: samplers.consistency_dynamics(
-                     k, cd_fn, cd_grid, x, num_steps=s).state))
+        cd_configs = [("consistency", args.consistency_segments)]
+        if args.consistency_segments_alt > 0:
+            cd_configs.append(("consistency_alt",
+                               args.consistency_segments_alt))
+        for tag, num_segments in cd_configs:
+            t0 = time.time()
+            cd = consistency.consistency_distill(
+                model, params, betas, cd_batches(),
+                num_segments=num_segments,
+                steps=args.consistency_steps, learning_rate=1e-4,
+                seed=seed_off + 4,
+                log_fn=lambda n, s, l: print(
+                    f"cd N={n} step {s}: loss {l:.4f}", file=sys.stderr))
+            results[f"{tag}_seconds"] = round(time.time() - t0, 1)
+            results[f"{tag}_segments"] = num_segments
+            cd_bf16 = jax.tree_util.tree_map(
+                lambda p: jnp.asarray(p, jnp.bfloat16), cd["params"])
+            cd_fn = (lambda x, c, cp=cd_bf16: serve_model.apply(
+                cp, x.astype(jnp.bfloat16),
+                c.astype(jnp.bfloat16)).astype(jnp.float32))
+            cd_grid = jnp.asarray(cd["grid"])
+            for n in (1, 2, 4):
+                if n > num_segments:
+                    continue
+                distilled_rows.append(
+                    (f"{tag}_{n}",
+                     lambda k, x, s=n, fn=cd_fn, g=cd_grid:
+                     samplers.consistency_dynamics(
+                         k, fn, g, x, num_steps=s).state))
 
     # Teacher-free consistency TRAINING (iCT): no teacher queries; the
     # target is the student's own previous iterate at a shared-noise
@@ -353,9 +380,12 @@ def main():
         ct = consistency.consistency_train(
             model, params, betas, ct_batches(),
             steps=args.ct_steps, learning_rate=1e-4,
+            seg_schedule=tuple(int(s) for s in
+                               args.ct_seg_schedule.split(",")),
             seed=seed_off + 8,
             log_fn=lambda n, s, l: print(
                 f"ct N={n} step {s}: loss {l:.4f}", file=sys.stderr))
+        results["ct_seg_schedule"] = args.ct_seg_schedule
         results["ct_seconds"] = round(time.time() - t0, 1)
         ct_bf16 = jax.tree_util.tree_map(
             lambda p: jnp.asarray(p, jnp.bfloat16), ct["params"])
@@ -364,6 +394,8 @@ def main():
             c.astype(jnp.bfloat16)).astype(jnp.float32)
         ct_grid = jnp.asarray(ct["grid"])
         for n in (1, 2, 4):
+            if n > ct_grid.shape[0] - 1:
+                continue
             distilled_rows.append(
                 (f"ct_{n}",
                  lambda k, x, s=n: samplers.consistency_dynamics(
@@ -448,11 +480,6 @@ def main():
     # Conditional generation quality: infilling + interpolation, scored
     # (VERDICT r3 item 5 — previously only mask-correctness-tested).
     if args.conditional_rows:
-        cond_real = make_data(args.eval_n, np.random.default_rng(123))
-        # Context for all conditional FDs: two fully-real disjoint draws.
-        results["real_vs_real_fd"] = round(
-            metrics.frechet_distance(real, cond_real), 4)
-
         # Infill: fix first/last 8 of 32 latents, regenerate the middle 16
         # (reference protocol, sample_ncsn.py:405-424).
         masks = np.zeros((args.eval_n, 32, 42), np.float32)
