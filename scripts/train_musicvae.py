@@ -61,6 +61,13 @@ flags.DEFINE_bool("half_precision_artifact", True,
                   "Save params as float16 (halves the artifact size; "
                   "restored to float32 at load).")
 flags.DEFINE_integer("parse_workers", 8, "Processes for MIDI parsing.")
+flags.DEFINE_string("chunk_cache", "",
+                    "Optional .npy path: load parsed chunks from it when it "
+                    "exists, otherwise parse --input and save there first "
+                    "(amortizes the MIDI parse across runs and lets it run "
+                    "on CPU while the accelerator is busy).")
+flags.DEFINE_bool("parse_only", False,
+                  "Exit right after writing --chunk_cache (no training).")
 flags.DEFINE_float("scheduled_sampling", 0.0,
                    "Final scheduled-sampling probability (ramped linearly "
                    "over the first half of training). Feeds the decoder its "
@@ -153,13 +160,24 @@ def main(argv):
     from smd_tpu.codec.musicvae import MusicVAE, MusicVAEConfig, elbo_loss
     from smd_tpu.utils import io as io_lib
 
-    files = sorted(glob.glob(os.path.expanduser(FLAGS.input), recursive=True))
     t0 = time.time()
-    data = load_tensors(files, FLAGS.parse_workers, FLAGS.mode)
-    if data is None:
-        raise ValueError("No chunks extracted from input")
-    logging.info("Parsed %d files -> %d %s chunks in %.1fs", len(files),
-                 len(data), FLAGS.mode, time.time() - t0)
+    if FLAGS.chunk_cache and os.path.exists(FLAGS.chunk_cache):
+        data = np.load(FLAGS.chunk_cache)
+        logging.info("Loaded %d %s chunks from %s in %.1fs", len(data),
+                     FLAGS.mode, FLAGS.chunk_cache, time.time() - t0)
+    else:
+        files = sorted(glob.glob(os.path.expanduser(FLAGS.input),
+                                 recursive=True))
+        data = load_tensors(files, FLAGS.parse_workers, FLAGS.mode)
+        if data is None:
+            raise ValueError("No chunks extracted from input")
+        logging.info("Parsed %d files -> %d %s chunks in %.1fs", len(files),
+                     len(data), FLAGS.mode, time.time() - t0)
+        if FLAGS.chunk_cache:
+            np.save(FLAGS.chunk_cache, data)
+            logging.info("Chunk cache written to %s", FLAGS.chunk_cache)
+    if FLAGS.parse_only:
+        return
     ids_input = data.ndim == 2   # multi mode stores event ids
 
     # Held-out split for honest reconstruction numbers.
