@@ -223,3 +223,27 @@ def test_full_workflow_16bar_bundle_path(tmp_path, monkeypatch):
     assert out["codec"]["source"] == "shipped artifact"
     assert out["diffusion_train"]["steps"] == 30
     assert np.isfinite(out["latent_fd"]["generated"])
+
+
+def test_aggregate_seeds_table(tmp_path):
+    """Multi-seed aggregator: parses trailing JSON, groups FD rows, flags
+    duplicate seeds (VERDICT r3 item 2 tooling)."""
+    import json
+    import subprocess
+    import sys
+
+    for seed, fd in ((0, 100.0), (1, 120.0)):
+        (tmp_path / f"s{seed}.json").write_text(
+            "training noise line\n" + json.dumps({
+                "seed": seed, "train_steps": 10,
+                "row_a": {"seconds": 1.0, "fd": fd},
+                "only_in_one": ({"fd": 5.0} if seed == 0 else None) or
+                               {"fd": 5.0},
+            }))
+    proc = subprocess.run(
+        [sys.executable, "benchmarks/aggregate_seeds.py",
+         str(tmp_path / "s0.json"), str(tmp_path / "s1.json")],
+        cwd=REPO, capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 0, proc.stderr
+    assert "| row_a | 110.0 | 100.0..120.0 | 20.0 | 1.00 |" in proc.stdout
+    assert "Seeds: [0, 1]" in proc.stdout
