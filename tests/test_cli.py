@@ -13,10 +13,11 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run(args, cwd=REPO, timeout=900):
-    # 900 s, not 420: on a 1-CPU box the fast-suite smoke test shares the
+def _run(args, cwd=REPO, timeout=1800):
+    # 1800 s, not 420: on a 1-CPU box the fast-suite smoke test shares the
     # core with whatever else runs (measured: 233 s alone, >420 s under
-    # 3-way contention). A timeout only bounds the hang case.
+    # 3-way contention, >900 s alongside a codec training run). A timeout
+    # only bounds the hang case.
     env = dict(os.environ)
     env["SMD_TPU_PLATFORM"] = "cpu"
     env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_cache"
