@@ -80,6 +80,17 @@ flags.DEFINE_bool("keep_best", True,
                   "the 134M cat-mel_2bar_big peaked at step 6k and declined "
                   "for the remaining 24k steps); the best-eval snapshot is "
                   "the artifact users actually want.")
+flags.DEFINE_string("init_from", "",
+                    "Optional codec pickle to initialize params from "
+                    "(fine-tune a shipped artifact on fresh data). The "
+                    "architecture flags must match the pickled config; "
+                    "fp16 artifacts are restored to fp32.")
+flags.DEFINE_bool("scheduled_sampling_ramp", True,
+                  "Ramp scheduled sampling linearly over the first half of "
+                  "training (the from-scratch recipe). Set false when "
+                  "fine-tuning with --init_from a model already trained "
+                  "with scheduled sampling: re-ramping from 0 would spend "
+                  "half the run re-learning the teacher-forced regime.")
 
 
 def _parse_one(path):
@@ -225,6 +236,22 @@ def main(argv):
     rng, init_rng = jax.random.split(rng)
     x0 = jnp.zeros((2, cfg.max_seq_len, cfg.depth))
     params = model.init({"params": init_rng}, x0, init_rng)
+    if FLAGS.init_from:
+        from smd_tpu.codec.musicvae import normalize_params
+        bundle = io_lib.load(FLAGS.init_from)
+        loaded = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(p, jnp.float32)
+            if np.asarray(p).dtype == np.float16 else jnp.asarray(p),
+            normalize_params(bundle["params"]))
+        want = jax.tree_util.tree_map(lambda p: p.shape, params)
+        got = jax.tree_util.tree_map(lambda p: p.shape, loaded)
+        if want != got:
+            raise ValueError(
+                f"--init_from={FLAGS.init_from} does not match the "
+                "architecture flags (param tree shapes differ)")
+        params = loaded
+        logging.info("Initialized params from %s (fine-tune)",
+                     FLAGS.init_from)
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
     logging.info("MusicVAE %s: %.1fM params", cfg, n_params / 1e6)
 
@@ -319,8 +346,9 @@ def main(argv):
             k_steps, FLAGS.batch_size, *train_data.shape[1:]))
         rng, step_rng = jax.random.split(rng)
         ss = jnp.asarray([
-            FLAGS.scheduled_sampling * min(
+            FLAGS.scheduled_sampling * (min(
                 1.0, (step + j) / max(FLAGS.steps // 2, 1))
+                if FLAGS.scheduled_sampling_ramp else 1.0)
             for j in range(k_steps)], jnp.float32)
         params, opt_state, losses, auxes = train_chunk(
             params, opt_state, batches, step_rng, ss)

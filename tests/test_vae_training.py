@@ -56,6 +56,58 @@ def test_train_musicvae_script(tmp_path):
     assert len(chunks) == 1
 
 
+@pytest.mark.slow
+def test_train_musicvae_init_from(tmp_path):
+    """--init_from fine-tunes a shipped artifact: the second run starts
+    from the first run's params (and rejects a mismatched architecture)."""
+    from smd_tpu.codec import midi_io
+    from smd_tpu.codec.note_sequence import NoteSequence, Tempo, TimeSignature
+    rng = np.random.default_rng(1)
+    midi_dir = tmp_path / "midi"
+    midi_dir.mkdir()
+    for i in range(3):
+        ns = NoteSequence(tempos=[Tempo(qpm=120)],
+                         time_signatures=[TimeSignature()])
+        t = 0.0
+        for _ in range(32):
+            ns.add_note(int(rng.integers(60, 72)), 80, t, t + 0.2)
+            t += 0.25
+        midi_io.write_midi_file(ns, str(midi_dir / f"m{i}.mid"))
+
+    env = dict(os.environ)
+    env["SMD_TPU_PLATFORM"] = "cpu"
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_cache"
+    arch = ["--batch_size=8", "--enc_units=16", "--dec_units=16",
+            "--dec_layers=1", "--latent_dims=8", "--log_every=10"]
+    base = str(tmp_path / "base.pkl")
+    proc = subprocess.run(
+        [sys.executable, "scripts/train_musicvae.py",
+         f"--input={midi_dir}/*.mid", f"--output={base}", "--steps=10",
+         *arch], cwd=REPO, env=env, capture_output=True, text=True,
+        timeout=420)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+
+    tuned = str(tmp_path / "tuned.pkl")
+    proc = subprocess.run(
+        [sys.executable, "scripts/train_musicvae.py",
+         f"--input={midi_dir}/*.mid", f"--output={tuned}", "--steps=10",
+         f"--init_from={base}", "--noscheduled_sampling_ramp", *arch],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=420)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "Initialized params from" in (proc.stderr + proc.stdout)
+    assert os.path.exists(tuned)
+
+    # Mismatched architecture is rejected with a clear error.
+    proc = subprocess.run(
+        [sys.executable, "scripts/train_musicvae.py",
+         f"--input={midi_dir}/*.mid", f"--output={tuned}", "--steps=10",
+         f"--init_from={base}", "--batch_size=8", "--enc_units=24",
+         "--dec_units=16", "--dec_layers=1", "--latent_dims=8"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=420)
+    assert proc.returncode != 0
+    assert "does not match the architecture flags" in proc.stderr
+
+
 def test_vae_training_reduces_elbo(rng):
     """Direct (in-process) check: 60 steps of ELBO descent on one batch."""
     import jax
