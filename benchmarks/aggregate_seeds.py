@@ -58,12 +58,21 @@ def main(paths):
         print(f"| {k}{note} | {mean:.1f} | {lo:.1f}..{hi:.1f} "
               f"| {hi - lo:.1f} | {wall:.2f} |")
 
-    scalars = ("fd_random_baseline", "real_vs_real_fd")
+    scalars = ("fd_random_baseline", "real_vs_real_fd",
+               "infill_middle16_floor_real_vs_real")
     print()
     for k in scalars:
         vals = [r[k] for r in runs if k in r]
         if vals:
             print(f"{k}: " + ", ".join(f"{v:.2f}" for v in vals))
+    gates = [r.get("mdn_gate") for r in runs if "mdn_gate" in r]
+    if gates:
+        print("mdn_gate: " + ", ".join(
+            f"nll {g['heldout_nll']:.1f} vs gauss "
+            f"{g['gauss_baseline_nll']:.1f} "
+            f"({'pass' if g['passed'] else 'FAIL'}"
+            f"{', +' + str(g['extensions']) + 'x ext' if g['extensions'] else ''})"
+            for g in gates))
 
 
 if __name__ == "__main__":

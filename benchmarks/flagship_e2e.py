@@ -86,6 +86,34 @@ def main():
                         help="Optimizer steps fused per dispatch for the "
                         "base and MDN training loops (the tunneled chip "
                         "pays ~0.1-0.5 s per dispatch).")
+    parser.add_argument("--pool_batches", type=int, default=400,
+                        help="Device-resident batch-pool size. 400 (25.6k "
+                        "examples) is plenty for the 1500-step smoke "
+                        "budget; converged-base runs (>=50k steps) should "
+                        "raise it so the pool is not recycled hundreds of "
+                        "times (1600 = 102k examples = ~550 MB HBM).")
+    parser.add_argument("--mdn_gate_margin", type=float, default=8.0,
+                        help="MDN serve-time convergence gate, NLL leg: "
+                        "held-out teacher-forced per-position NLL must "
+                        "beat the per-position diagonal-Gaussian baseline "
+                        "(fit on the training pool, closed form) by this "
+                        "many nats. Catches gross non-learning only — "
+                        "measured: a 3k-step MDN at NLL -75 (vs Gaussian "
+                        "-4.4) still detonated in free-running decode (FD "
+                        "3803), which is what the probe leg is for.")
+    parser.add_argument("--mdn_gate_dev_max", type=float, default=0.5,
+                        help="MDN gate, probe leg: free-running decode is "
+                        "probed and its per-(position,channel) marginal "
+                        "mean/std must stay within this relative deviation "
+                        "of the real data's. Teacher-forced NLL cannot see "
+                        "compounding autoregressive drift (measured NLL "
+                        "-75 -> decode FD 3803, a ~5x marginal-std blowup; "
+                        "healthy models sit well under 0.5), so the gate "
+                        "checks the serving behavior itself.")
+    parser.add_argument("--mdn_max_extensions", type=int, default=2,
+                        help="How many extra --mdn_steps training rounds "
+                        "the gate may add before giving up (the row is "
+                        "then reported with gate_passed=false).")
     parser.add_argument("--quant_rows", type=int, default=1,
                         help="1 = include the int8 w8a8 head/kernel rows.")
     parser.add_argument("--distill_stage_steps", type=int, default=3000,
@@ -154,7 +182,7 @@ def main():
                         "rows (FD vs real, vs the slerp baseline).")
     args = parser.parse_args()
 
-    from smd_tpu.diffusion import samplers, schedules
+    from smd_tpu.diffusion import losses, samplers, schedules
     from smd_tpu.eval import metrics
     from smd_tpu.models import get_model
     from smd_tpu.training import diffusion as trainer
@@ -176,9 +204,10 @@ def main():
 
     # Device-resident batch pool: host-side data generation plus a
     # host->device transfer per step dominates wall time on a tunneled
-    # accelerator; 400 pre-staged batches cycle on device instead.
+    # accelerator; pre-staged batches cycle on device instead.
+    n_pool = args.pool_batches
     pool = jnp.asarray(np.stack(
-        [make_data(args.batch, rng_np) for _ in range(400)]))
+        [make_data(args.batch, rng_np) for _ in range(n_pool)]))
 
     def train_model(state, objective_name, sched, steps, rng, tag):
         """Scan-chunked training off the device-resident pool."""
@@ -188,7 +217,7 @@ def main():
         loss0 = lossN = None
         while done < steps:
             k = min(args.scan_chunk, steps - done)
-            idx = np.arange(done, done + k) % 400
+            idx = np.arange(done, done + k) % n_pool
             rng, key = jax.random.split(rng)
             state, ms = chunk_fn(state, pool[idx], key)
             done += k
@@ -296,7 +325,7 @@ def main():
         def batches():
             i = 0
             while True:
-                yield pool[i % 400]
+                yield pool[i % n_pool]
                 i += 1
 
         stages = distill.progressive_distill(
@@ -332,7 +361,7 @@ def main():
         def cd_batches():
             i = 0
             while True:
-                yield pool[i % 400]
+                yield pool[i % n_pool]
                 i += 1
 
         cd_configs = [("consistency", args.consistency_segments)]
@@ -374,7 +403,7 @@ def main():
         def ct_batches():
             i = 0
             while True:
-                yield pool[i % 400]
+                yield pool[i % n_pool]
                 i += 1
 
         ct = consistency.consistency_train(
@@ -422,7 +451,7 @@ def main():
         gen.block_until_ready()
         dt = time.time() - t0
         fd = metrics.frechet_distance(real, np.asarray(gen))
-        results[name] = {"seconds": round(dt, 2), "fd": round(fd, 4)}
+        results[name] = {"seconds": round(dt, 4), "fd": round(fd, 4)}
 
     # Score-matching family (NCSN path): DSM-train a second flagship-size
     # TransformerDDPM on the same distribution, sample with ALD and CAS.
@@ -475,7 +504,7 @@ def main():
             gen.block_until_ready()
             dt = time.time() - t0
             fd = metrics.frechet_distance(real, np.asarray(gen))
-            results[name] = {"seconds": round(dt, 2), "fd": round(fd, 4)}
+            results[name] = {"seconds": round(dt, 4), "fd": round(fd, 4)}
 
     # Conditional generation quality: infilling + interpolation, scored
     # (VERDICT r3 item 5 — previously only mask-correctness-tested).
@@ -487,6 +516,24 @@ def main():
         masks[:, 24:] = 1.0
         fixed = jnp.asarray(cond_real * masks)
         masks_j = jnp.asarray(masks)
+        # Conditional-quality scoring is on the REGENERATED content only
+        # (middle 16 vs real middles): full-sequence FD is dominated by the
+        # 16 copied real latents — the trivial slerp-fill baseline "wins"
+        # it at FD ~0.14 (VERDICT r4 weak #3). The full-sequence FD is kept
+        # as fd_full for boundary-coherence context. cond_mse is the
+        # per-sequence error against the TRUE held-out middles — meaningful
+        # on this data because the trajectory mixture is smooth, so the
+        # real conditional p(middle | edges) is nearly deterministic (which
+        # is also why slerp-fill remains a strong baseline even on the
+        # middle-16 basis: interpolating inside a smooth trajectory nearly
+        # reconstructs it — a property of the data, not a metric artifact).
+        real_mid = real[:, 8:24]
+        true_mid = cond_real[:, 8:24]
+        results["infill_middle16_floor_real_vs_real"] = round(
+            metrics.frechet_distance(real_mid, true_mid), 4)
+
+        def cond_mse(gen_mid):
+            return float(np.mean((np.asarray(gen_mid) - true_mid) ** 2))
         for name, fn in [
             ("infill_ancestral_T1000", lambda k, x: samplers.diffusion_dynamics(
                 k, serve_fn, betas, x, infill_samples=fixed,
@@ -502,17 +549,26 @@ def main():
             gen = f(jax.random.PRNGKey(seed_off + 51), init)
             gen.block_until_ready()
             dt = time.time() - t0
-            fd = metrics.frechet_distance(real, np.asarray(gen))
-            results[name] = {"seconds": round(dt, 2), "fd": round(fd, 4)}
+            gen_np = np.asarray(gen)
+            results[name] = {
+                "seconds": round(dt, 4),
+                "fd": round(metrics.frechet_distance(
+                    real_mid, gen_np[:, 8:24]), 4),
+                "fd_full": round(metrics.frechet_distance(real, gen_np), 4),
+                "cond_mse": round(cond_mse(gen_np[:, 8:24]), 6)}
         # Baseline the reference's audio script would build: slerp the
-        # middle 16 latents from the edge latents (7 -> 24).
+        # middle 16 latents from the edge latents (7 -> 24) — scored on the
+        # same middle-16 basis, where copying the fixed bars buys nothing.
         slerp_fill = cond_real.copy()
         for j, pos in enumerate(range(8, 24)):
             tt = (j + 1) / 17.0
             slerp_fill[:, pos] = slerp_batch(cond_real[:, 7],
                                              cond_real[:, 24], tt)
         results["infill_slerp_baseline"] = {
-            "fd": round(metrics.frechet_distance(real, slerp_fill), 4)}
+            "fd": round(metrics.frechet_distance(
+                real_mid, slerp_fill[:, 8:24]), 4),
+            "fd_full": round(metrics.frechet_distance(real, slerp_fill), 4),
+            "cond_mse": round(cond_mse(slerp_fill[:, 8:24]), 6)}
 
         # Interpolation: stochastic-encode two real endpoint batches to
         # x_T, take the midpoint, decode (reference sample_ncsn.py:426-435
@@ -540,7 +596,7 @@ def main():
             gen.block_until_ready()
             dt = time.time() - t0
             fd = metrics.frechet_distance(real, np.asarray(gen))
-            results[name] = {"seconds": round(dt, 2), "fd": round(fd, 4)}
+            results[name] = {"seconds": round(dt, 4), "fd": round(fd, 4)}
         # Latent-space slerp midpoint of the same endpoint pairs. On
         # independent trajectory pairs ~42% of positions are near-antipodal
         # (sin(omega) < 0.1), where slerp's 1/sin(omega) explodes (|x| up to
@@ -574,33 +630,101 @@ def main():
             jax.random.PRNGKey(seed_off + 21), mdn_model,
             (args.batch, 32, 42), mdn_config)
         mdn_chunk = mdn_trainer.make_train_chunk(mdn_model)
+
+        def mdn_train_rounds(mdn_state, steps, start):
+            done = 0
+            while done < steps:
+                k = min(args.scan_chunk, steps - done)
+                idx = np.arange(start + done, start + done + k) % n_pool
+                mdn_state, ms = mdn_chunk(mdn_state, pool[idx])
+                done += k
+                if done % 500 < args.scan_chunk:
+                    print(f"mdn step {start + done}: "
+                          f"nll {float(ms['loss'][-1]):.4f}",
+                          file=sys.stderr)
+            return mdn_state, float(ms["loss"][-1])
+
+        # Serve-time convergence gate (VERDICT r4 item 3), two legs:
+        # 1. NLL leg: held-out teacher-forced per-position NLL must beat
+        #    the closed-form per-position diagonal-Gaussian baseline by
+        #    --mdn_gate_margin nats (catches gross non-learning).
+        # 2. Probe leg: free-running decode is probed and its marginal
+        #    per-(position,channel) mean/std must match the real data's
+        #    within --mdn_gate_dev_max relative deviation. This is the leg
+        #    that actually catches the measured failure mode: teacher-
+        #    forced NLL is blind to compounding autoregressive drift (a
+        #    3k-step pilot passed the NLL leg at -75 yet decoded at FD
+        #    3803; the round-4 seed-2 MDN shipped a 3609-FD decode
+        #    silently past the sigma-cap guard).
+        # On failure the gate auto-extends training up to
+        # --mdn_max_extensions rounds of --mdn_steps.
+        from smd_tpu.sampling import gates
+        pool_np = np.asarray(pool).reshape(-1, 32, 42)
+        gauss_nll = gates.gaussian_baseline_nll(real, fit_on=pool_np)
+        gate = gauss_nll - args.mdn_gate_margin
+
+        heldout_nll_fn = jax.jit(lambda params, batch: losses.mdn_nll(
+            *mdn_model.apply(params, batch), batch, "mean"))
+
+        def heldout_nll(params):
+            chunks = [float(heldout_nll_fn(params, jnp.asarray(c)))
+                      for c in np.array_split(real, 4)]
+            return float(np.mean(chunks))
+
+        probe_deviation = lambda gen: gates.marginal_deviation(real, gen)
+
+        decode = jax.jit(lambda k, params: ar_decode_cached(
+            k, mdn_model, params, args.eval_n, steps=32,
+            channels=42, log_sigma_cap=0.0))
+
         t0 = time.time()
-        done = 0
-        while done < args.mdn_steps:
-            k = min(args.scan_chunk, args.mdn_steps - done)
-            idx = np.arange(done, done + k) % 400
-            mdn_state, ms = mdn_chunk(mdn_state, pool[idx])
-            done += k
-            if done % 500 < args.scan_chunk:
-                print(f"mdn step {done}: nll {float(ms['loss'][-1]):.4f}",
-                      file=sys.stderr)
+        mdn_state, nll_train = mdn_train_rounds(mdn_state, args.mdn_steps, 0)
+        extensions = 0
+        while True:
+            nll_eval = heldout_nll(mdn_state.params)
+            probe = decode(jax.random.PRNGKey(seed_off + 31),
+                           mdn_state.params)
+            dev = probe_deviation(probe)
+            gate_passed = (nll_eval <= gate) and (dev <= args.mdn_gate_dev_max)
+            if gate_passed or extensions >= args.mdn_max_extensions:
+                break
+            extensions += 1
+            print(f"MDN GATE: held-out NLL {nll_eval:.2f} (gate {gate:.2f})"
+                  f", probe marginal deviation {dev:.3f} (max "
+                  f"{args.mdn_gate_dev_max}); auto-extending training "
+                  f"(round {extensions}/{args.mdn_max_extensions})",
+                  file=sys.stderr)
+            mdn_state, nll_train = mdn_train_rounds(
+                mdn_state, args.mdn_steps, extensions * args.mdn_steps)
+        if not gate_passed:
+            print(f"MDN GATE FAILED after {extensions} extensions: held-out "
+                  f"NLL {nll_eval:.2f} (gate {gate:.2f}), probe deviation "
+                  f"{dev:.3f} (max {args.mdn_gate_dev_max}); the decode row "
+                  f"below is from an underconverged model", file=sys.stderr)
         results["mdn_train"] = {
-            "steps": args.mdn_steps,
-            "nll_end": round(float(ms["loss"][-1]), 4),
+            "steps": args.mdn_steps * (1 + extensions),
+            "nll_end": round(nll_train, 4),
             "seconds": round(time.time() - t0, 1)}
+        results["mdn_gate"] = {
+            "heldout_nll": round(nll_eval, 4),
+            "gauss_baseline_nll": round(gauss_nll, 4),
+            "margin": args.mdn_gate_margin,
+            "probe_marginal_deviation": round(dev, 4),
+            "dev_max": args.mdn_gate_dev_max,
+            "extensions": extensions,
+            "passed": bool(gate_passed)}
         # log_sigma_cap=0.0: serving-side guard against the NLL's unbounded
         # variance components (sigma up to ~e^6 on this flagship) that
         # detonate free-running decode — see mdn_decode.sample_mixture.
-        decode = jax.jit(lambda k: ar_decode_cached(
-            k, mdn_model, mdn_state.params, args.eval_n, steps=32,
-            channels=42, log_sigma_cap=0.0))
-        decode(jax.random.PRNGKey(seed_off + 30)).block_until_ready()
+        # (decode jit built above for the gate's probe leg.)
+        decode(jax.random.PRNGKey(seed_off + 30),
+               mdn_state.params).block_until_ready()
         t0 = time.time()
-        mdn_gen = decode(jax.random.PRNGKey(seed_off + 31))
+        mdn_gen = decode(jax.random.PRNGKey(seed_off + 31), mdn_state.params)
         mdn_gen.block_until_ready()
         dt = time.time() - t0
         results["mdn_cached_decode"] = {
-            "seconds": round(dt, 2),
+            "seconds": round(dt, 4),
             "fd": round(metrics.frechet_distance(
                 real, np.asarray(mdn_gen)), 4)}
     print(json.dumps(results, indent=2))

@@ -249,6 +249,26 @@ def main(argv):
             raise ValueError(
                 f"--init_from={FLAGS.init_from} does not match the "
                 "architecture flags (param tree shapes differ)")
+        # Shapes alone cannot catch everything: LSTM/conductor params are
+        # invariant to max_seq_len and hier_segments, so a mismatched chunk
+        # length or segment count would pass silently and fine-tune the
+        # model on a different problem. Compare the pickled config's
+        # architecture fields too.
+        old_cfg = bundle.get("config")
+        if old_cfg is not None:
+            arch_fields = ("latent_dims", "enc_units", "dec_units", "depth",
+                           "max_seq_len", "hier_segments", "conductor_units",
+                           "conductor_layers")
+            diffs = [
+                f"{f}: checkpoint={getattr(old_cfg, f)!r} flags={getattr(cfg, f)!r}"
+                for f in arch_fields
+                if hasattr(old_cfg, f)
+                and getattr(old_cfg, f) != getattr(cfg, f)]
+            if diffs:
+                raise ValueError(
+                    f"--init_from={FLAGS.init_from} was trained with a "
+                    "different architecture/problem than the current flags "
+                    "and corpus: " + "; ".join(diffs))
         params = loaded
         logging.info("Initialized params from %s (fine-tune)",
                      FLAGS.init_from)
@@ -339,6 +359,17 @@ def main(argv):
     step = 0
     # (best_metric, step, host params) — see --keep_best.
     best = (-1.0, 0, None)
+    if (FLAGS.init_from and FLAGS.keep_best
+            and len(eval_data) >= FLAGS.batch_size):
+        # Seed keep_best with the starting checkpoint's own score so a
+        # regressive fine-tune can never ship an artifact worse than its
+        # input (without this, best only ever saw in-training evals).
+        rng, ek = jax.random.split(rng)
+        tf0, fr0, tf0_np, fr0_np = evaluate(params, ek)
+        sel0 = fr0_np if ids_input else fr0
+        best = (sel0, 0, jax.device_get(params))
+        logging.info("init_from baseline: round-trip %.4f seeded as the "
+                     "keep_best candidate", sel0)
     while step < FLAGS.steps:
         k_steps = min(chunk, FLAGS.steps - step)
         idx = rng_np.integers(0, n, (k_steps, FLAGS.batch_size))

@@ -1,0 +1,70 @@
+"""Serve-time convergence gates for autoregressive decoding.
+
+Why this exists (VERDICT r4 item 3): the MDN's NLL objective never bounds
+mixture variance and teacher forcing never exposes the model to its own
+samples, so two distinct failure modes ship silently:
+
+1. junk huge-sigma components that detonate free-running decode — handled
+   by ``mdn_decode.sample_mixture``'s ``log_sigma_cap``;
+2. compounding autoregressive drift from underconverged conditionals —
+   invisible to teacher-forced NLL (measured on the flagship: a checkpoint
+   at held-out NLL -75, far past the unconditional-Gaussian baseline of
+   -4.4, still decoded at FD 3803 under the sigma cap; the round-4 seed-2
+   campaign MDN shipped a 3609-FD decode the same way).
+
+The gate therefore has two legs:
+
+- NLL leg (pre-decode): held-out teacher-forced per-position NLL must beat
+  the closed-form per-position diagonal-Gaussian baseline
+  (``gaussian_baseline_nll``) by a margin — catches gross non-learning.
+- Probe leg (post-decode): the decoded samples' marginal
+  per-(position,channel) mean/std must match the real data's within a
+  relative deviation (``marginal_deviation``) — catches drift by checking
+  the serving behavior itself. Healthy flagship checkpoints measure well
+  under 0.5; detonating ones measure in the several-x.
+
+Reference contract being hardened: ``train_mdn.py:224`` ships whatever the
+early-stop machinery kept and ``sample_mdn.py:54-121`` decodes it with no
+convergence check at all.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["gaussian_baseline_nll", "marginal_deviation"]
+
+
+def gaussian_baseline_nll(real, fit_on=None):
+    """Per-position NLL of a diagonal Gaussian fit, evaluated on ``real``.
+
+    The closed-form score of an "AR" model that learned only the
+    per-position marginals — any converged autoregressive model must beat
+    it by a clear margin. ``fit_on`` defaults to ``real`` itself (serve
+    time usually has only the eval examples); pass the training pool when
+    available.
+
+    Shapes: (N, S, D). Returns mean over (N, S) of the per-position NLL
+    summed over D — the same units as ``losses.mdn_nll(..., "mean")``.
+    """
+    real = np.asarray(real, np.float32)
+    fit = real if fit_on is None else np.asarray(fit_on, np.float32)
+    mu = fit.mean(0)
+    var = fit.var(0) + 1e-12
+    return float(np.mean(np.sum(
+        0.5 * ((real - mu) ** 2 / var + np.log(2 * np.pi * var)), axis=-1)))
+
+
+def marginal_deviation(real, generated):
+    """Relative marginal mean+std deviation of generated samples vs real.
+
+    Mean over (position, channel) of |std_gen - std_real| / std_real plus
+    the same for the means (both normalized by the real std — scale-free).
+    ~0 for same-distribution draws; O(1) and beyond when free-running
+    decode drifts or detonates.
+    """
+    real = np.asarray(real, np.float32)
+    generated = np.asarray(generated, np.float32)
+    denom = real.std(0) + 1e-6
+    return float(
+        np.mean(np.abs(generated.std(0) - real.std(0)) / denom) +
+        np.mean(np.abs(generated.mean(0) - real.mean(0)) / denom))

@@ -160,3 +160,36 @@ def test_ar_decode_cached_over_cap_fails_loudly(rng):
     with pytest.raises(ValueError, match="max_decode_length"):
         mdn_decode.ar_decode_cached(rng, model, params, 1, steps=200,
                                     channels=4)
+
+
+def test_gate_gaussian_baseline_nll_matches_closed_form():
+    """The NLL-leg baseline equals the exact diagonal-Gaussian NLL."""
+    from smd_tpu.sampling import gates
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(4000, 5, 3)).astype(np.float32) * 2.0 + 1.0
+    got = gates.gaussian_baseline_nll(x)
+    # Unit-variance-after-standardization closed form: per-position NLL of
+    # a fitted diagonal Gaussian on its own fitting data is
+    # D/2 * (1 + log(2*pi)) + sum_d log(sigma_d) as N -> inf.
+    mu = x.mean(0)
+    var = x.var(0)
+    want = float(np.mean(np.sum(
+        0.5 * (1.0 + np.log(2 * np.pi * var)), axis=-1)))
+    assert abs(got - want) < 1e-3
+    del mu
+
+
+def test_gate_marginal_deviation_separates_healthy_from_detonated():
+    """The probe leg is ~0 for same-distribution draws and large for the
+    drift/detonation failure mode it exists to catch (free-running decode
+    with inflated variance, measured FD 3803 on a flagship pilot that
+    PASSED the NLL leg)."""
+    from smd_tpu.sampling import gates
+    rng = np.random.default_rng(1)
+    real = rng.normal(size=(2000, 8, 4)).astype(np.float32)
+    healthy = rng.normal(size=(2000, 8, 4)).astype(np.float32)
+    assert gates.marginal_deviation(real, healthy) < 0.1
+    detonated = healthy * 5.0 + 2.0
+    assert gates.marginal_deviation(real, detonated) > 2.0
+    drifted = healthy + np.linspace(0, 3, 8)[None, :, None]
+    assert gates.marginal_deviation(real, drifted) > 0.5
