@@ -35,6 +35,11 @@ def main():
     parser.add_argument("--cd_scale", type=float, default=1.0,
                         help="Multiplier on each config's CD step count "
                         "(for CPU smoke runs).")
+    parser.add_argument("--load_base", type=str, default="",
+                        help="Reuse a converged base from flagship_e2e.py "
+                        "--save_base instead of training --steps here "
+                        "(round-5 protocol: sweep the 1-step levers on the "
+                        "50k-step base, not the 1500-step smoke base).")
     args = parser.parse_args()
 
     from benchmarks.flagship_e2e import make_data
@@ -51,21 +56,30 @@ def main():
     config = trainer.TrainConfig(loss="ddpm", learning_rate=1e-3,
                                  batch_size=args.batch, ema=True)
     rng = jax.random.PRNGKey(0)
-    state = trainer.create_train_state(rng, model, (args.batch, 32, 42),
-                                       (args.batch, 1, 1), config)
     pool = jnp.asarray(np.stack(
         [make_data(args.batch, rng_np) for _ in range(400)]))
-    chunk_fn = trainer.make_train_chunk(
-        model, trainer.objective_by_name("ddpm"), betas, True)
-    done = 0
-    while done < args.steps:
-        k = min(50, args.steps - done)
-        idx = np.arange(done, done + k) % 400
-        rng, key = jax.random.split(rng)
-        state, ms = chunk_fn(state, pool[idx], key)
-        done += k
-    print(f"base trained: loss {float(ms['loss'][-1]):.4f}", file=sys.stderr)
-    params = state.sampling_params
+    if args.load_base:
+        import pickle
+        with open(args.load_base, "rb") as f:
+            bundle = pickle.load(f)
+        params = jax.tree_util.tree_map(jnp.asarray, bundle["params"])
+        print(f"base loaded from {args.load_base} "
+              f"({bundle.get('steps', '?')} steps)", file=sys.stderr)
+    else:
+        state = trainer.create_train_state(rng, model, (args.batch, 32, 42),
+                                           (args.batch, 1, 1), config)
+        chunk_fn = trainer.make_train_chunk(
+            model, trainer.objective_by_name("ddpm"), betas, True)
+        done = 0
+        while done < args.steps:
+            k = min(50, args.steps - done)
+            idx = np.arange(done, done + k) % 400
+            rng, key = jax.random.split(rng)
+            state, ms = chunk_fn(state, pool[idx], key)
+            done += k
+        print(f"base trained: loss {float(ms['loss'][-1]):.4f}",
+              file=sys.stderr)
+        params = state.sampling_params
 
     serve_model = get_model("TransformerDDPM", num_layers=6, num_heads=8,
                             num_mlp_layers=2, mlp_dims=2048,
@@ -105,6 +119,28 @@ def main():
         "ct_8_16_12k": dict(method="ct", steps=12000, seg_schedule=(8, 16)),
         "ct_full_curr_24k": dict(method="ct", steps=24000,
                                  seg_schedule=(16, 32, 64, 128)),
+        # Round-5 1-step levers on the converged base (VERDICT r4 item 7):
+        # (a) longer budget at the winning fixed grid, and a long run that
+        # ends on a finer grid (iCT's "train longest at the finest N");
+        "ct_16_24k": dict(method="ct", steps=24000, seg_schedule=(16,)),
+        "ct_16_32_24k": dict(method="ct", steps=24000,
+                             seg_schedule=(16, 32)),
+        # (b) Pseudo-Huber transition-constant sweep around iCT's
+        # c = 0.00054*sqrt(D) = 0.0198 at D=1344 (larger c -> more
+        # L2-like, smaller -> more L1-like);
+        "ct_16_12k_c4x": dict(method="ct", steps=12000, seg_schedule=(16,),
+                              huber_c=0.08),
+        "ct_16_12k_c16x": dict(method="ct", steps=12000, seg_schedule=(16,),
+                               huber_c=0.32),
+        "ct_16_12k_c025x": dict(method="ct", steps=12000, seg_schedule=(16,),
+                                huber_c=0.005),
+        # (c) noise-level sampling distribution: iCT default is lognormal
+        # (-1.1, 2.0) in log-EDM-sigma; shift mass toward noisier levels
+        # (the 1-step map's hard end) and wider.
+        "ct_16_12k_pm0": dict(method="ct", steps=12000, seg_schedule=(16,),
+                              p_mean=0.0, p_std=2.0),
+        "ct_16_12k_wide": dict(method="ct", steps=12000, seg_schedule=(16,),
+                               p_mean=-0.4, p_std=3.0),
     }
     only = [s for s in args.configs.split(",") if s]
     results = {}

@@ -180,6 +180,15 @@ def main():
     parser.add_argument("--conditional_rows", type=int, default=0,
                         help="1 = add infilling + interpolation quality "
                         "rows (FD vs real, vs the slerp baseline).")
+    parser.add_argument("--save_base", type=str, default="",
+                        help="Pickle the trained base model's sampling "
+                        "params here (lets cd_sweep / follow-up runs "
+                        "reuse a converged base instead of retraining "
+                        "50k+ steps).")
+    parser.add_argument("--load_base", type=str, default="",
+                        help="Load base sampling params from this pickle "
+                        "and skip base training (all downstream rows run "
+                        "against the loaded base).")
     args = parser.parse_args()
 
     from smd_tpu.diffusion import losses, samplers, schedules
@@ -229,12 +238,32 @@ def main():
                       file=sys.stderr)
         return state, rng, loss0, lossN
 
-    t0 = time.time()
-    state, rng, loss0, lossN = train_model(state, "ddpm", betas, args.steps,
-                                           rng, "ddpm")
-    train_time = time.time() - t0
-
-    params = state.sampling_params
+    if args.load_base:
+        import pickle
+        with open(args.load_base, "rb") as f:
+            base_bundle = pickle.load(f)
+        params = jax.tree_util.tree_map(jnp.asarray, base_bundle["params"])
+        loss0, lossN = base_bundle.get("loss0", -1.0), base_bundle.get(
+            "lossN", -1.0)
+        train_time = base_bundle.get("train_seconds", float("nan"))
+        base_steps = base_bundle.get("steps", -1)
+        print(f"Loaded base params from {args.load_base} "
+              f"({base_steps} steps)", file=sys.stderr)
+    else:
+        t0 = time.time()
+        state, rng, loss0, lossN = train_model(state, "ddpm", betas,
+                                               args.steps, rng, "ddpm")
+        train_time = time.time() - t0
+        base_steps = args.steps
+        params = state.sampling_params
+        if args.save_base:
+            import pickle
+            with open(args.save_base, "wb") as f:
+                pickle.dump({"params": jax.device_get(params),
+                             "steps": args.steps, "seed": args.seed,
+                             "loss0": loss0, "lossN": lossN,
+                             "train_seconds": train_time}, f)
+            print(f"Saved base params to {args.save_base}", file=sys.stderr)
     model_fn = lambda x, c: model.apply(
         jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params),
         x.astype(jnp.bfloat16), c.astype(jnp.bfloat16)).astype(jnp.float32)
@@ -263,8 +292,8 @@ def main():
     fd_floor = metrics.frechet_distance(real, cond_real)
 
     results = {"seed": args.seed,
-               "train_steps": args.steps,
-               "train_steps_per_sec": round(args.steps / train_time, 2),
+               "train_steps": base_steps,
+               "train_steps_per_sec": round(base_steps / train_time, 2),
                "loss_start": round(loss0, 4), "loss_end": round(lossN, 4),
                "fd_random_baseline": round(fd_noise, 4),
                "real_vs_real_fd": round(fd_floor, 4)}

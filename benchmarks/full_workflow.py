@@ -285,6 +285,21 @@ def finish(results, songs, codec, rng_np, t_start, shipped: bool,
     # generated row reads against this, not against 1.0.
     results["perceptual_oa_ceiling_real_vs_real"] = mean_oa(
         songs[8:16], real_songs)
+    # MATCHED-LENGTH ceiling (the round-4 "82% of ceiling" diagnosis): the
+    # generated pieces are ctx-chunk snippets (8 bars) while both rows
+    # above use whole 30-50-bar songs, and the OA statistics' variances
+    # are length-dependent (an 8-bar window sees a tighter pitch range and
+    # noisier density/duration variance than a whole song). Real 8-bar
+    # snippets scored against the same whole-song reference set isolate
+    # that protocol effect: read perceptual_oa_vs_real against THIS row.
+    # (The 16-bar and multi workflows hit ~98.7% of ceiling precisely
+    # because they score matched-length chunks on both sides.)
+    snippet_songs = []
+    for ns in songs[8:16]:
+        s = Song(ns, melody_2bar_converter, chunk_length=2)
+        snippet_songs.append(s.truncate(chunks=ctx).note_sequence)
+    results["perceptual_oa_snippet_ceiling_real_vs_real"] = mean_oa(
+        snippet_songs, real_songs)
     results["total_seconds"] = round(time.time() - t_start, 1)
     print(json.dumps(results, indent=2))
 

@@ -223,7 +223,8 @@ def make_cd_scan(model, teacher_params, grid, mids,
     return cd_chunk
 
 
-def _ct_update(model, grid, huber_c, clip_x0, state: TrainState, batch, rng):
+def _ct_update(model, grid, huber_c, clip_x0, p_mean, p_std,
+               state: TrainState, batch, rng):
     # theta^-: the EMA tree. With ema_mu=0 (iCT's choice) this is exactly
     # the previous iterate, since apply_gradients refreshed it to the
     # post-update params at the END of the last step.
@@ -233,14 +234,16 @@ def _ct_update(model, grid, huber_c, clip_x0, state: TrainState, batch, rng):
         student_fn = lambda x, cond: model.apply(params, x, cond)
         return consistency_training_loss(batch, student_fn, target_fn, grid,
                                          rng, huber_c=huber_c,
-                                         clip_x0=clip_x0)
+                                         clip_x0=clip_x0, p_mean=p_mean,
+                                         p_std=p_std)
 
     loss, grads = jax.value_and_grad(loss_fn)(state.params)
     return state.apply_gradients(grads), loss
 
 
 def make_ct_scan(model, grid, huber_c: Optional[float] = None,
-                 clip_x0: bool = True):
+                 clip_x0: bool = True, p_mean: float = -1.1,
+                 p_std: float = 2.0):
     """K consistency-training steps per dispatch (one donated jit program;
     same dispatch-amortization rationale as ``make_cd_scan``)."""
 
@@ -251,7 +254,7 @@ def make_ct_scan(model, grid, huber_c: Optional[float] = None,
         def body(state, xs):
             batch, key = xs
             new_state, loss = _ct_update(model, grid, huber_c, clip_x0,
-                                         state, batch, key)
+                                         p_mean, p_std, state, batch, key)
             return new_state, loss
 
         return jax.lax.scan(body, state, (batches, keys))
@@ -271,6 +274,8 @@ def consistency_train(model,
                       seg_schedule: tuple = (16, 32, 64, 128),
                       ema_mu: float = 0.0,
                       huber_c: Optional[float] = None,
+                      p_mean: float = -1.1,
+                      p_std: float = 2.0,
                       seed: int = 0,
                       clip_x0: bool = True,
                       scan_chunk: int = 50,
@@ -311,7 +316,8 @@ def consistency_train(model,
     for si, num_segments in enumerate(seg_schedule):
         grid = distill_grid(betas, num_segments, lam_max)
         chunk_fn = make_ct_scan(model, grid, huber_c=huber_c,
-                                clip_x0=clip_x0)
+                                clip_x0=clip_x0, p_mean=p_mean,
+                                p_std=p_std)
         stage_steps = (steps - per_stage * (len(seg_schedule) - 1)
                        if si == len(seg_schedule) - 1 else per_stage)
         done = 0
