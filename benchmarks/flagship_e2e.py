@@ -101,15 +101,18 @@ def main():
                         "measured: a 3k-step MDN at NLL -75 (vs Gaussian "
                         "-4.4) still detonated in free-running decode (FD "
                         "3803), which is what the probe leg is for.")
-    parser.add_argument("--mdn_gate_dev_max", type=float, default=0.5,
+    parser.add_argument("--mdn_gate_dev_max", type=float, default=1.0,
                         help="MDN gate, probe leg: free-running decode is "
                         "probed and its per-(position,channel) marginal "
                         "mean/std must stay within this relative deviation "
                         "of the real data's. Teacher-forced NLL cannot see "
-                        "compounding autoregressive drift (measured NLL "
-                        "-75 -> decode FD 3803, a ~5x marginal-std blowup; "
-                        "healthy models sit well under 0.5), so the gate "
-                        "checks the serving behavior itself.")
+                        "compounding autoregressive drift (measured: NLL "
+                        "-75 -> decode FD 3803), so the gate checks the "
+                        "serving behavior itself. Calibration, all "
+                        "measured on the flagship at N=1000: real-vs-real "
+                        "sampling floor 0.026; a healthy converged MDN "
+                        "(decode FD 59) 0.59; a 2x marginal-std blowup "
+                        "1.62; detonation ~19.")
     parser.add_argument("--mdn_max_extensions", type=int, default=2,
                         help="How many extra --mdn_steps training rounds "
                         "the gate may add before giving up (the row is "

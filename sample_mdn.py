@@ -49,10 +49,12 @@ flags.DEFINE_float(
     "Nats-per-position margin the MDN must beat the Gaussian baseline by "
     "(see --nll_gate).")
 flags.DEFINE_float(
-    "gate_dev_max", 0.5,
+    "gate_dev_max", 1.0,
     "Maximum relative marginal mean+std deviation of decoded samples vs "
-    "the eval examples (see --nll_gate probe leg; healthy checkpoints "
-    "measure well under 0.5, detonating ones measure in the several-x).")
+    "the eval examples (see --nll_gate probe leg). Measured calibration "
+    "on the flagship at N=1000: real-vs-real sampling floor 0.026, a "
+    "healthy converged MDN 0.59, a 2x marginal-std blowup 1.62, "
+    "detonation ~19.")
 
 
 def main(argv):

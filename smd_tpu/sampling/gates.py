@@ -20,8 +20,10 @@ The gate therefore has two legs:
 - Probe leg (post-decode): the decoded samples' marginal
   per-(position,channel) mean/std must match the real data's within a
   relative deviation (``marginal_deviation``) — catches drift by checking
-  the serving behavior itself. Healthy flagship checkpoints measure well
-  under 0.5; detonating ones measure in the several-x.
+  the serving behavior itself. Measured calibration on the flagship at
+  N=1000 samples: real-vs-real sampling floor 0.026; a healthy converged
+  MDN (decode FD 59) 0.59; a 2x marginal-std blowup 1.62; detonation ~19.
+  The shipped default threshold is 1.0.
 
 Reference contract being hardened: ``train_mdn.py:224`` ships whatever the
 early-stop machinery kept and ``sample_mdn.py:54-121`` decodes it with no
