@@ -300,6 +300,19 @@ def finish(results, songs, codec, rng_np, t_start, shipped: bool,
         snippet_songs.append(s.truncate(chunks=ctx).note_sequence)
     results["perceptual_oa_snippet_ceiling_real_vs_real"] = mean_oa(
         snippet_songs, real_songs)
+    # DECODE-PATH ceiling: real latent windows pushed through the exact
+    # pipeline the generated ones take (slice-inverse + randn prior-fill
+    # of dropped dims + VAE decode at 1e-3 temperature). The delta between
+    # this row and the snippet ceiling is the decode path's contribution
+    # (codec error + the randn fill); whatever gap remains between the
+    # generated row and THIS row is attributable to the diffusion model.
+    rt_lat = from_model(real_norm[:8])
+    rt_songs = [embeddings_to_song(rt_lat[i].astype(np.float64), codec,
+                                   melody_2bar_converter,
+                                   temperature=1e-3).note_sequence
+                for i in range(8)]
+    results["perceptual_oa_decode_path_ceiling"] = mean_oa(
+        rt_songs, real_songs)
     results["total_seconds"] = round(time.time() - t_start, 1)
     print(json.dumps(results, indent=2))
 

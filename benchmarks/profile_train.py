@@ -93,8 +93,10 @@ def main():
 
         def init_carry():
             params = jax.tree_util.tree_map(jnp.copy, params0)
+            # jnp.array (not asarray): same-dtype asarray returns the SAME
+            # buffer, and aliased params/ema leaves would be donated twice.
             ema = (None if ema_dtype is None else jax.tree_util.tree_map(
-                lambda p: jnp.asarray(p, ema_dtype), params))
+                lambda p: jnp.array(p, ema_dtype), params))
             return (params, tx.init(params), ema)
 
         return chunk, init_carry

@@ -78,6 +78,12 @@ def define_common_flags():
                          "chunk granularity.")
     flags.DEFINE_boolean("mixed_precision", False,
                          "bfloat16 compute with fp32 params.")
+    flags.DEFINE_boolean("adam_m_bf16", False,
+                         "Store Adam's first moment in bfloat16 (measured "
+                         "-3%% step time, indistinguishable loss curve — "
+                         "benchmarks/profile_train.py). The EMA stays "
+                         "fp32: bf16 EMA measurably stalls (its mu=0.999 "
+                         "increments underflow bf16).")
     flags.DEFINE_boolean("remat", False,
                          "Rematerialize transformer layers in the backward "
                          "pass (activation checkpointing).")
@@ -209,6 +215,7 @@ def train_config_from_flags(mdn: bool = False) -> TrainConfig:
         save_ckpt=FLAGS.save_ckpt,
         verbose=FLAGS.verbose,
         scan_chunk=FLAGS.scan_chunk,
+        adam_m_bf16=FLAGS.adam_m_bf16,
     )
     if not mdn:
         cfg.loss = FLAGS.loss

@@ -59,6 +59,9 @@ class TrainConfig:
     lr_gamma: float = 0.98
     lr_schedule_interval: int = 10000
     lr_warmup: int = 0
+    # Adam first moment in bf16 (benchmarks/profile_train.py: -3% step
+    # time, loss curve indistinguishable). EMA always stays fp32.
+    adam_m_bf16: bool = False
     ema: bool = True
     mu: float = 0.999
     logging_freq: int = 100
@@ -86,7 +89,7 @@ def create_train_state(rng, model, sample_batch, cond_shape,
     params = model.init(rng, x, cond)
     tx = make_optimizer(config.learning_rate, config.grad_clip,
                         config.lr_gamma, config.lr_schedule_interval,
-                        config.lr_warmup)
+                        config.lr_warmup, adam_m_bf16=config.adam_m_bf16)
     state = TrainState.create(params, tx, ema=config.ema, ema_mu=config.mu)
     if mesh is not None:
         shardings = mesh_lib.shard_params(state.params, mesh)

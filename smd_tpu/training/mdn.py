@@ -30,7 +30,7 @@ def create_train_state(rng, model, sample_batch, config: TrainConfig,
     params = model.init(rng, jnp.zeros(sample_batch, jnp.float32))
     tx = make_optimizer(config.learning_rate, config.grad_clip,
                         config.lr_gamma, config.lr_schedule_interval,
-                        config.lr_warmup)
+                        config.lr_warmup, adam_m_bf16=config.adam_m_bf16)
     # Reference MDN training has no EMA (``train_mdn.py`` checkpoints only
     # (optimizer, early_stop)).
     state = TrainState.create(params, tx, ema=False)
