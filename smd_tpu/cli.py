@@ -148,6 +148,17 @@ def define_diffusion_flags():
                         "--distill_mode=ct (iCT's doubling N schedule; "
                         "--distill_stage_steps splits evenly across "
                         "stages).")
+    flags.DEFINE_float("ct_p_mean", -1.1,
+                       "Mean of iCT's lognormal noise-level sampling "
+                       "distribution (log-EDM-sigma space) for "
+                       "--distill_mode=ct. The round-5 sweep on a "
+                       "converged flagship base measured 0.0 (more mass "
+                       "at the noisy end) beating the iCT default -1.1 "
+                       "at every step count: 1-step FD 106.9 -> 93.7 "
+                       "(see DESIGN.md).")
+    flags.DEFINE_float("ct_p_std", 2.0,
+                       "Std of iCT's lognormal noise-level sampling "
+                       "(see --ct_p_mean).")
     flags.DEFINE_integer("distill_start_steps", 8,
                          "First (largest) distilled sampler step count. "
                          "Measured on the flagship: 8 (whose teacher is the "

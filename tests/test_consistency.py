@@ -292,3 +292,34 @@ def test_consistency_distill_toy_one_step_beats_fewstep_ddim(tmp_path):
         f"1-step CD FD {fd1:.2f} vs DDIM-2 {fd_ddim2:.2f}"
     assert fd1 < 5.0, f"1-step CD FD: {fd1:.2f}"
     assert fd2 < 5.0, f"2-step CD FD: {fd2:.2f}"
+
+
+def test_consistency_train_p_mean_plumbing(rng):
+    """p_mean/p_std reach the CT loss (round-5 lever: p_mean=0 measured
+    better at every step count on the converged flagship base); different
+    settings must change the training trajectory from identical seeds."""
+    import numpy as np
+
+    from smd_tpu.diffusion import schedules
+    from smd_tpu.models import get_model
+    from smd_tpu.training import consistency
+
+    model = get_model("DenseDDPM", num_layers=1, mlp_dims=8)
+    betas = schedules.noise_schedule(1e-4, 0.02, 8, "linear")
+    x = jnp.zeros((2, 4), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((2, 1)))
+
+    def run(p_mean):
+        def gen():
+            while True:
+                yield np.zeros((2, 4), np.float32)
+        batches = gen()
+        out = consistency.consistency_train(
+            model, params, betas, batches, steps=4, seg_schedule=(4,),
+            scan_chunk=2, seed=0, p_mean=p_mean)
+        return np.concatenate([np.asarray(l).ravel() for l in
+                               jax.tree_util.tree_leaves(out["params"])])
+
+    a, b = run(-1.1), run(3.0)
+    assert not np.allclose(a, b), \
+        "p_mean had no effect on CT training (plumbing broken)"

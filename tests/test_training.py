@@ -282,3 +282,27 @@ def test_resume_at_completion_is_noop(tmp_path):
         s2 = trainer.fit(model, betas, _toy_batches(20, 8, -9, 9, 2),
                          _toy_batches(1, 8, -9, 9, 1), (2,), config, d)
         assert int(s2.step) == 8
+
+
+def test_make_optimizer_adam_m_bf16_state_dtype():
+    """--adam_m_bf16 stores Adam's first moment in bfloat16 (profile_train
+    measured -3% step time, indistinguishable loss; the EMA stays fp32 —
+    see optimizer.make_optimizer)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from smd_tpu.training.optimizer import make_optimizer
+
+    params = {"w": jnp.ones((4, 4), jnp.float32)}
+    for flag, want in ((True, jnp.bfloat16), (False, jnp.float32)):
+        tx = make_optimizer(adam_m_bf16=flag)
+        state = tx.init(params)
+        mus = [s.mu for s in jax.tree_util.tree_leaves(
+            state, is_leaf=lambda x: hasattr(x, "mu")) if hasattr(s, "mu")]
+        assert mus, "no ScaleByAdamState found"
+        assert mus[0]["w"].dtype == want
+        # One update still works and keeps param dtype fp32.
+        grads = {"w": jnp.ones((4, 4), jnp.float32)}
+        updates, _ = tx.update(grads, state, params)
+        assert updates["w"].dtype == jnp.float32

@@ -150,6 +150,8 @@ def run_distillation(train_ds, eval_ds):
                 seg_schedule=seg_schedule,
                 learning_rate=FLAGS.distill_lr,
                 lam_max=FLAGS.distill_lam_max,
+                p_mean=FLAGS.ct_p_mean,
+                p_std=FLAGS.ct_p_std,
                 seed=FLAGS.seed,
                 log_fn=log_fn if FLAGS.verbose else None)
             num_segments = seg_schedule[-1]
