@@ -114,9 +114,20 @@ def main():
                         "(decode FD 59) 0.59; a 2x marginal-std blowup "
                         "1.62; detonation ~19.")
     parser.add_argument("--mdn_max_extensions", type=int, default=2,
-                        help="How many extra --mdn_steps training rounds "
-                        "the gate may add before giving up (the row is "
-                        "then reported with gate_passed=false).")
+                        help="How many remedial rounds (extension or "
+                        "re-init, see --mdn_gate_reinit_dev) the gate may "
+                        "take before giving up (the row is then reported "
+                        "with gate_passed=false).")
+    parser.add_argument("--mdn_gate_reinit_dev", type=float, default=4.0,
+                        help="Gate remedy selector: probe deviation above "
+                        "this means the INIT is bad and training is "
+                        "restarted from a fresh seed instead of extended. "
+                        "Measured (4 inits, same 15k budget/data): one "
+                        "init detonates at dev 5.3/FD 1105 and stays "
+                        "broken through 45k steps of extension, while "
+                        "neighboring inits land at 0.8-1.0/FD 70-185; a "
+                        "mid-range failure (dev 2.3) was fixed by one "
+                        "extension. So: dev > 4 -> re-init; else extend.")
     parser.add_argument("--quant_rows", type=int, default=1,
                         help="1 = include the int8 w8a8 head/kernel rows.")
     parser.add_argument("--distill_stage_steps", type=int, default=3000,
@@ -712,29 +723,51 @@ def main():
         t0 = time.time()
         mdn_state, nll_train = mdn_train_rounds(mdn_state, args.mdn_steps, 0)
         extensions = 0
+        reinits = 0
+        trained_steps = args.mdn_steps
         while True:
             nll_eval = heldout_nll(mdn_state.params)
             probe = decode(jax.random.PRNGKey(seed_off + 31),
                            mdn_state.params)
             dev = probe_deviation(probe)
             gate_passed = (nll_eval <= gate) and (dev <= args.mdn_gate_dev_max)
-            if gate_passed or extensions >= args.mdn_max_extensions:
+            rounds = extensions + reinits
+            if gate_passed or rounds >= args.mdn_max_extensions:
                 break
-            extensions += 1
-            print(f"MDN GATE: held-out NLL {nll_eval:.2f} (gate {gate:.2f})"
-                  f", probe marginal deviation {dev:.3f} (max "
-                  f"{args.mdn_gate_dev_max}); auto-extending training "
-                  f"(round {extensions}/{args.mdn_max_extensions})",
-                  file=sys.stderr)
-            mdn_state, nll_train = mdn_train_rounds(
-                mdn_state, args.mdn_steps, extensions * args.mdn_steps)
+            if dev > args.mdn_gate_reinit_dev:
+                # Bad init, not a budget problem: extension measurably
+                # cannot fix it (a detonating init stayed at dev 2.5-5.3
+                # through 45k steps while fresh inits pass at 15k).
+                reinits += 1
+                print(f"MDN GATE: probe deviation {dev:.3f} > reinit "
+                      f"threshold {args.mdn_gate_reinit_dev} — bad init; "
+                      f"RESTARTING from a fresh seed (remedy "
+                      f"{rounds + 1}/{args.mdn_max_extensions})",
+                      file=sys.stderr)
+                mdn_state = mdn_trainer.create_train_state(
+                    jax.random.PRNGKey(seed_off + 21 + 5000 * reinits),
+                    mdn_model, (args.batch, 32, 42), mdn_config)
+                mdn_state, nll_train = mdn_train_rounds(
+                    mdn_state, args.mdn_steps, 0)
+                trained_steps = args.mdn_steps
+            else:
+                extensions += 1
+                print(f"MDN GATE: held-out NLL {nll_eval:.2f} (gate "
+                      f"{gate:.2f}), probe marginal deviation {dev:.3f} "
+                      f"(max {args.mdn_gate_dev_max}); auto-extending "
+                      f"training (remedy {rounds + 1}/"
+                      f"{args.mdn_max_extensions})", file=sys.stderr)
+                mdn_state, nll_train = mdn_train_rounds(
+                    mdn_state, args.mdn_steps, trained_steps)
+                trained_steps += args.mdn_steps
         if not gate_passed:
-            print(f"MDN GATE FAILED after {extensions} extensions: held-out "
-                  f"NLL {nll_eval:.2f} (gate {gate:.2f}), probe deviation "
-                  f"{dev:.3f} (max {args.mdn_gate_dev_max}); the decode row "
-                  f"below is from an underconverged model", file=sys.stderr)
+            print(f"MDN GATE FAILED after {extensions} extensions + "
+                  f"{reinits} re-inits: held-out NLL {nll_eval:.2f} (gate "
+                  f"{gate:.2f}), probe deviation {dev:.3f} (max "
+                  f"{args.mdn_gate_dev_max}); the decode row below is from "
+                  f"an underconverged model", file=sys.stderr)
         results["mdn_train"] = {
-            "steps": args.mdn_steps * (1 + extensions),
+            "steps": trained_steps,
             "nll_end": round(nll_train, 4),
             "seconds": round(time.time() - t0, 1)}
         results["mdn_gate"] = {
@@ -744,6 +777,7 @@ def main():
             "probe_marginal_deviation": round(dev, 4),
             "dev_max": args.mdn_gate_dev_max,
             "extensions": extensions,
+            "reinits": reinits,
             "passed": bool(gate_passed)}
         # log_sigma_cap=0.0: serving-side guard against the NLL's unbounded
         # variance components (sigma up to ~e^6 on this flagship) that
