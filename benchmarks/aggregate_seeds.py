@@ -71,7 +71,8 @@ def main(paths):
             f"nll {g['heldout_nll']:.1f} vs gauss "
             f"{g['gauss_baseline_nll']:.1f} "
             f"({'pass' if g['passed'] else 'FAIL'}"
-            f"{', +' + str(g['extensions']) + 'x ext' if g['extensions'] else ''})"
+            f"{', +' + str(g['extensions']) + 'x ext' if g['extensions'] else ''}"
+            f"{', +' + str(g.get('reinits', 0)) + 'x reinit' if g.get('reinits') else ''})"
             for g in gates))
 
 
