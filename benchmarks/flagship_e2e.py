@@ -184,13 +184,20 @@ def main():
     parser.add_argument("--ald_T", type=int, default=20,
                         help="Langevin steps per sigma level (reference "
                         "default 100; L*T model evals total).")
-    parser.add_argument("--ald_eps", type=float, default=2e-6,
+    parser.add_argument("--ald_eps", type=float, default=2e-5,
                         help="ALD step size (per-step SNR is "
-                        "sqrt(eps)/sigma_end, level-independent).")
+                        "sqrt(eps)/sigma_end, level-independent). Round-5 "
+                        "retune on a converged 50k DSM net (ald_sweep.py): "
+                        "2e-5 measures FD 12.9 vs 152.6 at the old 2e-6 "
+                        "default, which had been tuned on a 1500-step "
+                        "model.")
     parser.add_argument("--cas_sigmas", type=int, default=1000,
                         help="Sigma-level count for the CAS row (one model "
                         "eval per level).")
-    parser.add_argument("--cas_eps", type=float, default=2e-6)
+    parser.add_argument("--cas_eps", type=float, default=2e-5,
+                        help="CAS step size; round-5 retune measured FD "
+                        "34.0 at 2e-5 vs 184.6 at the old 2e-6 default "
+                        "(converged DSM net, ald_sweep.py).")
     parser.add_argument("--conditional_rows", type=int, default=0,
                         help="1 = add infilling + interpolation quality "
                         "rows (FD vs real, vs the slerp baseline).")
